@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot-path computation is JVM-side (``pyspark.sql.functions`` only:
+substr/transform/xxhash64/explode/groupBy/self-join) so it survives
+whole-stage codegen and scales by partitioning — no Python per row.
+
+Operators:
+- exact_dedup / exact_dup_groups: hash-groupBy exact dedup.
+- char_shingles: distinct k-char shingles per doc (explode).
+- minhash_signatures: k-permutation MinHash via min(xxhash64(seed, sh)).
+- minhash_lsh_pairs: banded LSH candidate pairs + exact Jaccard verify.
+- simhash: 64-bit SimHash from token hashes; near-dup pairs by
+  banded chunks + popcount Hamming verify.
+- ngram_jaccard_pairs: exact n-gram Jaccard similarity join (small/
+  verify path).
+
+Scale design (100 TB corpus): the shingle explode multiplies rows by
+~doc_len, so shingles are hashed to 8 bytes immediately (never carry
+strings through the shuffle); LSH self-join joins on (band_idx,
+band_hash) — a uniformly distributed key, so no skew; verify runs only
+on candidate pairs (tiny vs corpus). Signatures are O(k) ints per doc.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .windows import top1_per_group
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates: (digest, n_copies, canonical_id)."""
+    return (
+        df.select(F.sha2(F.col(content_col), 256).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct content (lowest id wins — total order)."""
+    return top1_per_group(
+        df.withColumn("__digest", F.sha2(F.col(content_col), 256)),
+        keys=["__digest"],
+        order=[F.asc(id_col)],
+    ).drop("__digest")
+
+
+# ------------------------------------------------------------- shingles
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """(id, shingle_hash) — distinct k-char shingles, pre-hashed to int64.
+
+    Shingling via substr over a sequence of offsets, all JVM-side;
+    strings shorter than k contribute their whole text as one shingle.
+    """
+    text = F.col(text_col)
+    offsets = F.sequence(F.lit(1), F.greatest(F.length(text) - F.lit(k - 1), F.lit(1)))
+    shingle_arr = F.array_distinct(F.transform(offsets, lambda i: F.xxhash64(F.substr(text, i, F.lit(k)))))
+    return df.select(F.col(id_col).alias("id"), F.explode(shingle_arr).alias("sh"))
+
+
+# -------------------------------------------------------------- minhash
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(id, sig: array<bigint>) — one min per seeded hash family.
+
+    h_i(s) = xxhash64(i, s): k independent families from the seed slot.
+    Computed as k min() aggregates in ONE groupBy pass (map-side
+    partial min => shuffle carries k ints per doc, not the shingles).
+    """
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)]
+    agg = shingles.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def _band_table(signatures: DataFrame, bands: int) -> DataFrame:
+    """(id, band, bh) — one hashed band row per (doc, band)."""
+    sig_len_hint = bands  # rows per doc after explode
+    bands_col = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(b, F.slice(F.col("sig"), b * (F.size("sig") / bands).cast("int") + 1, (F.size("sig") / bands).cast("int")).cast("string")).alias("bh"),
+        ),
+    )
+    _ = sig_len_hint
+    return signatures.select("id", F.explode(bands_col).alias("b")).select("id", "b.band", "b.bh")
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded LSH buckets.
+
+    Self-join on (band, band_hash); a pair colliding in any band is a
+    candidate once (distinct). Join key is a hash — uniform, skew-free.
+    """
+    bt = _band_table(signatures, bands)
+    a = bt.alias("a")
+    b = bt.alias("b")
+    return (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"), F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Exact Jaccard on candidate pairs only.
+
+    |A∩B| via shingle-equijoin restricted to candidate pairs;
+    |A∪B| = |A|+|B|-|A∩B|. Returns (id_a, id_b, jaccard) ≥ threshold.
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
+    sa = shingles.withColumnRenamed("id", "id_a")
+    sb = shingles.withColumnRenamed("id", "id_b")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup: shingle -> minhash -> band ->
+    bucket-join -> exact-Jaccard verify."""
+    sh = char_shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, num_hashes)
+    pairs = minhash_lsh_pairs(sig, bands)
+    return jaccard_verify(pairs, sh, threshold)
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash: bigint) — token-hash SimHash, fully JVM-side.
+
+    Tokens -> xxhash64 -> per-bit +1/-1 vote summed per doc (bits
+    aggregate columns, one shuffle) -> sign bits packed into an int64.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return agg.select("id", packed.alias("simhash"))
+
+
+def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into ``chunks`` 16-bit chunks; any
+    pair within max_hamming < chunks shares at least one exact chunk, so
+    self-join per chunk then verify with bit_count(xor).
+    """
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunk_rows = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("chunk"), F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)).alias("cv"))
+                for c in range(chunks)
+            ])
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk", "c.cv")
+    a, b = chunk_rows.alias("a"), chunk_rows.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.chunk") == F.col("b.chunk"), F.col("a.cv") == F.col("b.cv"), F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -------------------------------------------------- n-gram Jaccard (exact)
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity join (all-pairs via shingle
+    equi-join — the exact/verify path; use minhash_dedup_pairs at scale).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))),
+            lambda i: F.xxhash64(F.concat_ws("", F.slice(toks, i + 1, n))),
+        )
+    )
+    sh = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col("a.id") < F.col("b.id")])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,724 @@
+"""Query catalog: every operator from SURVEY.md §2 (+ the training-data
+extensions) as a (spark_fn, oracle_sql) pair over the driver testdata.
+
+Parity rules that make the order-insensitive value-hash stable:
+- money sums go through exact decimal(18,4) -> ROUND(.,2) -> DOUBLE
+  (associative, engine-independent);
+- double-valued ratios are pure IEEE expressions evaluated identically
+  in both engines (no rounding of accumulated floats);
+- every LIMIT/top-k is totally ordered via a unique tiebreak column;
+- timestamps are formatted to strings before leaving a query.
+
+Keys of QUERIES and ORACLE match; queries without a feasible ANSI-SQL
+oracle (xxhash64-based sketches) appear only in QUERIES -> the driver
+records a rows-only check, flagged in the docstring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import dec, money
+from ..operators.aggregates import conditional_sum_pivot, horizontal_total
+from ..operators.dedup import (
+    exact_dup_groups,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from ..operators.joins import semi_filter
+from ..operators.similarity import brute_force_topk, lsh_bucketed_topk
+from ..operators.text import doc_fingerprints, lang_id, quality_score, token_count, bpe_ish_token_estimate
+from ..operators.windows import lww_latest, top1_per_group, topk_per_group
+from ..sources.tpch import load_table
+from . import analog
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+_MONEY = "CAST(ROUND(SUM(CAST({c} AS DECIMAL(18,4))), 2) AS DOUBLE)"
+
+
+# ============================================================ relational core
+
+
+@_q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_MONEY.format(c='l_quantity')} AS sum_qty,
+           {_MONEY.format(c='l_extendedprice')} AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan -> filter -> groupBy partial+final agg
+    (reference A1+A2, scripts/individual_support.py:117-119)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            money(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "filter_project_pushdown",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_quantity < 10
+    """,
+)
+def filter_project_pushdown(spark, sf_dir):
+    """P1/P6/P8: predicate + projection, pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")) & (F.col("l_quantity") < 10)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2).cast("double").alias("revenue"),
+    )
+
+
+@_q(
+    "broadcast_enrich_join",
+    """
+    SELECT o.o_orderkey, c.c_name, n.n_name, r.r_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def broadcast_enrich_join(spark, sf_dir):
+    """J1/J6: chained broadcast left joins, fact never shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select("o_orderkey", "c_name", "n_name", "r_name")
+    )
+
+
+@_q(
+    "semi_join_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def semi_join_exists(spark, sf_dir):
+    """J3-J5: LEFT SEMI membership (reference isin(set) probes)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return semi_filter(c, o.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey").select("c_custkey", "c_name")
+
+
+@_q(
+    "anti_join_not_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_not_exists(spark, sf_dir):
+    """LEFT ANTI: customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return semi_filter(c, o.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey", negate=True).select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "conditional_pivot_agg",
+    """
+    SELECT c.c_mktsegment,
+           CAST(ROUND(SUM(CASE WHEN o.o_orderstatus = 'F' THEN CAST(o.o_totalprice AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE) AS sum_f,
+           CAST(ROUND(SUM(CASE WHEN o.o_orderstatus <> 'F' THEN CAST(o.o_totalprice AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE) AS sum_other
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def conditional_pivot_agg(spark, sf_dir):
+    """A3: one scan, bucketed sums (reference CORP vs NONCONNECTED split
+    scripts/pac_support_corp_union.py:116-144)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    piv = conditional_sum_pivot(
+        joined,
+        keys=["c_mktsegment"],
+        amount=dec("o_totalprice"),
+        buckets={"sum_f_raw": F.col("o_orderstatus") == "F", "sum_other_raw": F.col("o_orderstatus") != "F"},
+    )
+    return piv.select("c_mktsegment", money("sum_f_raw").alias("sum_f"), money("sum_other_raw").alias("sum_other"))
+
+
+@_q(
+    "top1_per_group_lww",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def top1_per_group_lww(spark, sf_dir):
+    """A6: top-1-per-group / last-writer-wins (reference
+    scripts/merge_support.py:150-180, the CDC LWW primitive)."""
+    ev = _t(spark, sf_dir, "events")
+    return top1_per_group(ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+@_q(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
+    """,
+)
+def topk_per_group_q(spark, sf_dir):
+    """O5 generalized: top-3 orders per customer, totally ordered."""
+    o = _t(spark, sf_dir, "orders")
+    return topk_per_group(o, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@_q(
+    "collapse_duplicates_sum",
+    f"""
+    SELECT user_id, event_type,
+           {_MONEY.format(c='value')} AS total_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def collapse_duplicates_sum(spark, sf_dir):
+    """A4: enforce one row per key by summing (reference
+    scripts/merge_support.py:49-84)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        money(F.sum(dec("value"))).alias("total_value"), F.count("*").alias("n_events")
+    )
+
+
+@_q(
+    "horizontal_total_flag",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+        CAST(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE) AS purchase_total,
+        CAST(ROUND(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE) AS click_total,
+        CAST(ROUND(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE) AS view_total
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, purchase_total, click_total, view_total,
+           purchase_total + click_total + view_total AS total_value,
+           CAST((purchase_total + click_total + view_total) > 0 AS INTEGER) AS has_money
+    FROM per_user
+    """,
+)
+def horizontal_total_flag(spark, sf_dir):
+    """A5 + F6: horizontal category total + 0/1 funded flag (reference
+    scripts/merge_support.py:265-277)."""
+    ev = _t(spark, sf_dir, "events")
+    piv = conditional_sum_pivot(
+        ev,
+        keys=["user_id"],
+        amount=dec("value"),
+        buckets={
+            "purchase_raw": F.col("event_type") == "purchase",
+            "click_raw": F.col("event_type") == "click",
+            "view_raw": F.col("event_type") == "view",
+        },
+    ).select(
+        "user_id",
+        money("purchase_raw").alias("purchase_total"),
+        money("click_raw").alias("click_total"),
+        money("view_raw").alias("view_total"),
+    )
+    return horizontal_total(piv, ["purchase_total", "click_total", "view_total"], "total_value", "has_money")
+
+
+@_q(
+    "multi_sort_limit",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def multi_sort_limit(spark, sf_dir):
+    """O3+O5: mixed-direction sort + limit with unique-key tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.asc("o_orderdate"), F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"), "o_totalprice")
+    )
+
+
+@_q(
+    "union_by_name_distinct",
+    """
+    SELECT DISTINCT event_id, user_id, event_type, value FROM (
+      SELECT event_id, user_id, event_type, value FROM events WHERE value >= 50
+      UNION ALL
+      SELECT event_id, user_id, event_type, value FROM events WHERE value <= 150
+    )
+    """,
+)
+def union_by_name_distinct(spark, sf_dir):
+    """U1 + A10: union-by-name of overlapping slices, then distinct
+    (reference scripts/combine_csv.py:66,69)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    hi = ev.filter(F.col("value") >= 50)
+    lo = ev.filter(F.col("value") <= 150)
+    return hi.unionByName(lo).distinct()
+
+
+@_q(
+    "count_distinct_per_group",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def count_distinct_per_group(spark, sf_dir):
+    """A7: count-distinct diagnostic (reference scripts/merge_support.py:138-146)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events"))
+    )
+
+
+@_q(
+    "regex_extract_normalize",
+    r"""
+    SELECT event_id, CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def regex_extract_normalize(spark, sf_dir):
+    """F1/F7: regex extract + numeric coercion (reference year
+    normalization scripts/individual_support.py:76)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("int").alias("k_val")
+    )
+
+
+@_q(
+    "rollup_grouping_sets",
+    f"""
+    SELECT event_type, {_MONEY.format(c='value')} AS total_value, COUNT(*) AS n
+    FROM events GROUP BY ROLLUP(event_type)
+    """,
+)
+def rollup_grouping_sets(spark, sf_dir):
+    """The reference's S/P/S+P triple-run collapsed into one grouped
+    scan (reference scripts/run_all.py:44-50 computes a grouping set
+    by rescanning 3x; Spark does it in one pass)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .rollup("event_type")
+        .agg(money(F.sum(dec("value"))).alias("total_value"), F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """Frame-spec window (beyond the reference; SURVEY.md §2.5)."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.round(F.sum(dec("value")).over(w), 2).cast("double").alias("running_value"))
+    )
+
+
+@_q(
+    "set_algebra_intersect",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_algebra_intersect(spark, sf_dir):
+    """U2: key-set algebra (reference scripts/validate_outputs.py:308-373)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select("user_id").intersect(
+        ev.filter(F.col("event_type") == "error").select("user_id")
+    )
+
+
+@_q(
+    "key_universe_full_outer",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS purchase_total
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), c AS (
+      SELECT user_id, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS click_total
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+           COALESCE(purchase_total, 0.0) AS purchase_total,
+           COALESCE(click_total, 0.0) AS click_total
+    FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+    """,
+)
+def key_universe_full_outer(spark, sf_dir):
+    """U3: key-universe union as FULL OUTER join (reference
+    scripts/pac_support_corp_union.py:135-137)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def per_type(t, name):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("user_id")
+            .agg(money(F.sum(dec("value"))).alias(name))
+        )
+
+    p = per_type("purchase", "purchase_total")
+    c = per_type("click", "click_total")
+    return (
+        p.withColumnRenamed("user_id", "p_uid")
+        .join(c.withColumnRenamed("user_id", "c_uid"), F.col("p_uid") == F.col("c_uid"), "full_outer")
+        .select(
+            F.coalesce("p_uid", "c_uid").alias("user_id"),
+            F.coalesce("purchase_total", F.lit(0.0)).alias("purchase_total"),
+            F.coalesce("click_total", F.lit(0.0)).alias("click_total"),
+        )
+    )
+
+
+@_q(
+    "cdc_lww_final_state",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    """,
+)
+def cdc_lww_final_state(spark, sf_dir):
+    """CDC primitive on batch data: last-writer-wins image per key by
+    max LSN (event_id) — the core of cdc/engine.py."""
+    ev = _t(spark, sf_dir, "events")
+    return lww_latest(ev, ["user_id"], "event_id").select(
+        "user_id", F.col("event_id").alias("last_event_id"), "event_type", "value"
+    )
+
+
+# ===================================================== FEC pipeline analogs
+
+_SPINE_SQL = """
+  SELECT c_custkey AS cand_id, c_name AS cand_name,
+         CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 'S'
+              WHEN c_mktsegment = 'MACHINERY' THEN 'P'
+              ELSE 'H' END AS office
+  FROM customer
+"""
+
+_FACT_SQL = """
+  SELECT l.l_returnflag, l.l_linestatus, l.l_quantity, l.l_extendedprice,
+         o.o_custkey AS cand_id
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _support_sql(flag: str, alias: str) -> str:
+    return f"""
+  SELECT cand_id, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS {alias}
+  FROM fact
+  WHERE l_returnflag = '{flag}' AND l_quantity > 0 AND cand_id IS NOT NULL
+    AND cand_id IN (SELECT cand_id FROM spine_f)
+  GROUP BY cand_id
+"""
+
+
+_FEC_FINAL_SQL = f"""
+WITH spine AS ({_SPINE_SQL}),
+spine_f AS (SELECT * FROM spine WHERE office IN ('S', 'P')),
+fact AS ({_FACT_SQL}),
+indiv AS ({_support_sql('N', 'individual_support')}),
+superpac AS ({_support_sql('R', 'superpac_ie_support')}),
+pac AS (
+  SELECT cand_id,
+    CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE) AS corp_support,
+    CAST(ROUND(SUM(CASE WHEN l_linestatus <> 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE) AS nonconn_support
+  FROM fact
+  WHERE l_returnflag = 'A' AND l_quantity > 0 AND cand_id IS NOT NULL
+    AND cand_id IN (SELECT cand_id FROM spine_f)
+  GROUP BY cand_id
+)
+SELECT s.cand_id, s.cand_name, s.office,
+       COALESCE(individual_support, 0.0) AS individual_support,
+       COALESCE(corp_support, 0.0) AS corp_support,
+       COALESCE(nonconn_support, 0.0) AS nonconn_support,
+       COALESCE(superpac_ie_support, 0.0) AS superpac_ie_support,
+       COALESCE(individual_support, 0.0) + COALESCE(corp_support, 0.0)
+         + COALESCE(nonconn_support, 0.0) + COALESCE(superpac_ie_support, 0.0) AS total_support,
+       CAST((COALESCE(individual_support, 0.0) + COALESCE(corp_support, 0.0)
+         + COALESCE(nonconn_support, 0.0) + COALESCE(superpac_ie_support, 0.0)) > 0 AS INTEGER) AS has_money
+FROM spine_f s
+LEFT JOIN indiv USING (cand_id)
+LEFT JOIN pac USING (cand_id)
+LEFT JOIN superpac USING (cand_id)
+"""
+
+
+@_q("fec_individual_support_analog", f"WITH spine AS ({_SPINE_SQL}), spine_f AS (SELECT * FROM spine WHERE office IN ('S','P')), fact AS ({_FACT_SQL}) {_support_sql('N', 'support')}")
+def fec_individual_support_analog(spark, sf_dir):
+    """individual_support.main as ONE lazy plan (reference
+    scripts/individual_support.py:84-129)."""
+    return analog.support_by_candidate(spark, sf_dir, returnflag="N")
+
+
+@_q("fec_final_support_analog", _FEC_FINAL_SQL)
+def fec_final_support_analog(spark, sf_dir):
+    """The full reference pipeline (3 support categories + merge +
+    totals + flag) as one Catalyst plan — reference runs 4 scripts and
+    6 rescans for this (scripts/run_all.py:24-27)."""
+    return analog.final_support_analog(spark, sf_dir)
+
+
+# ============================================= training-data pipeline ops
+
+
+@_q(
+    "dedup_exact_groups",
+    """
+    SELECT sha256(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup via content digest groups."""
+    return exact_dup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_q(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                                  w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) END AS bpe_estimate
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish subword estimate."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_estimate(F.col("text")).alias("bpe_estimate"),
+    )
+
+
+@_q(
+    "text_quality_score",
+    r"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars_calc,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS n_stop
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id, n_chars_calc, n_tokens,
+             CASE WHEN n_chars_calc > 0 THEN n_punct / n_chars_calc ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN n_tokens > 0 THEN (n_chars_calc - n_tokens + 1) / n_tokens ELSE 0.0 END AS mean_word_len
+      FROM feats
+    )
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
+           (least(n_tokens / 50.0, 1.0) + least(stopword_ratio * 5.0, 1.0)
+             + greatest(1.0 - punct_ratio * 10.0, 0.0)) / 3.0 AS quality
+    FROM ratios
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring from length/punct/stopword features."""
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(d, "text").select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_word_len", "quality"
+    )
+
+
+@_q(
+    "text_lang_id",
+    r"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|das)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|de|que)\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '\b(le|la|et|les)\b')) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Marker-word language-ID heuristic (deterministic argmax,
+    alphabetical tiebreak)."""
+    d = _t(spark, sf_dir, "documents")
+    return lang_id(d, "text").select("doc_id", "lang", "lang_pred")
+
+
+@_q(
+    "word_jaccard_pairs",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS words
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.words, b.words)) AS inter_size,
+           len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)) AS union_size
+    FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.words, b.words)) * 10 >= (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) * 8
+    """,
+)
+def word_jaccard_pairs(spark, sf_dir):
+    """Exact word-set Jaccard similarity join within source groups
+    (threshold 0.8, expressed as integer cross-multiply so the oracle
+    needs no float compare)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", "source", F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("words"))
+    a, b = w.alias("a"), w.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
+    return (
+        a.join(b, on=[F.col("a.source") == F.col("b.source"), F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            inter.alias("inter_size"),
+            union.alias("union_size"),
+        )
+        .filter(F.col("inter_size") * 10 >= F.col("union_size") * 8)
+    )
+
+
+@_q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    s AS (
+      SELECT q.query_id, c.vec_id AS id,
+             list_cosine_similarity(q.qv, c.embedding) AS cos
+      FROM q CROSS JOIN embeddings c
+    )
+    SELECT query_id, id, rank FROM (
+      SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+      FROM s
+    ) WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline): broadcast queries,
+    JVM-side dot products, rank output only (float-order safe)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    res = brute_force_topk(emb, q, "vec_id", "embedding", "vec_id", "embedding", k=10)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return res.withColumn("rank", F.row_number().over(w)).select("query_id", "id", "rank")
+
+
+# ----- rows-only checks (xxhash64 sketches have no ANSI-SQL twin) -----
+
+
+@_q("minhash_neardup_pairs")
+def minhash_neardup_pairs_q(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (rows-only driver check; exactness is
+    covered by tests/test_dedup.py against a brute-force oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, "doc_id", "text", k=5, num_hashes=32, bands=8, threshold=0.5)
+
+
+@_q("simhash_neardup_pairs")
+def simhash_neardup_pairs_q(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only; Hamming verify in tests)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash(d, "doc_id", "text"), max_hamming=6, chunks=4)
+
+
+@_q("ann_lsh_bucketed_topk")
+def ann_lsh_bucketed_topk_q(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (rows-only; recall vs brute force is
+    asserted in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(emb, q, "vec_id", "embedding", "vec_id", "embedding", dim=64, k=10, bits=4)
+
+
+@_q("doc_fingerprints")
+def doc_fingerprints_q(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (rows-only; xxhash64-based)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return doc_fingerprints(d, "doc_id", "text")
