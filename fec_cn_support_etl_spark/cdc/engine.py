@@ -1,0 +1,226 @@
+"""The CDC upsert engine: one epoch of change events -> lake table.
+
+Dataflow per epoch (north rule, BASELINE.json):
+
+  batch = WAL[epoch]
+    | salted two-phase LWW dedup on (repo, path) by max lsn
+    |   phase 1: groupBy(repo, path, salt)  max_by(row, lsn)   [hot keys
+    |            split across n_salts reducers -> no straggler]
+    |   phase 2: groupBy(repo, path)        max_by(row, lsn)
+    | content sha256 (vectorized pandas UDF) + lang normalization
+    | Arrow/StructType schema reconcile vs the table (add/widen)
+    | bucket-level copy-on-write MERGE:
+    |   survivors = state[touched buckets] ANTI JOIN changed keys
+    |   new state = survivors UNION upserts (deletes simply absent)
+    | atomic snapshot commit embedding the (epoch -> applied) manifest
+    v
+  per-partition lineage/metrics row(s)
+
+Exactly-once: the manifest lives INSIDE the snapshot JSON, so data +
+manifest commit atomically (one rename). Re-delivered epochs are
+detected before any work and become no-ops; a crash between data-file
+write and snapshot rename leaves ignorable orphans and the replay
+re-applies cleanly (LWW dedup is idempotent on identical input).
+
+LWW dedup uses max_by over a (lsn, commit) struct — an algebraic
+aggregate, so Spark applies map-side partial aggregation on top of our
+explicit salting; both levels together bound any single reducer's work
+even when one (repo, path) dominates the batch.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import lang_normalize_udf, sha256_udf
+from .schema_evolution import reconcile
+from .table import BUCKET_COL, LakeTable, bucket_expr
+
+KEYS = ["repo", "path"]
+ORDER_COLS = ["lsn", "commit"]  # total order => bit-stable replay
+META_COLS = ["op", "epoch"]
+
+
+@dataclass
+class ApplyResult:
+    epoch: str
+    skipped: bool
+    n_events: int = 0
+    n_keys: int = 0
+    n_upserts: int = 0
+    n_deletes: int = 0
+    min_lsn: int | None = None
+    max_lsn: int | None = None
+    touched_buckets: int = 0
+    apply_sec: float = 0.0
+    snapshot: int | None = None
+
+
+def lww_dedup(
+    batch: DataFrame,
+    hot_keys: DataFrame | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Last-writer-wins image per (repo, path): max-by-(lsn, commit).
+
+    Two-phase salted aggregation (explicit skew handling): hot keys are
+    spread over n_salts partial groups first. Reference analog: the
+    prefer-principal / keep-first dedup (scripts/merge_support.py:150-180)
+    generalized to a total LSN order.
+    """
+    ord_struct = F.struct(*[F.col(c) for c in ORDER_COLS])
+    row_struct = F.struct(*[F.col(c) for c in batch.columns])
+    if hot_keys is not None:
+        hot = F.broadcast(hot_keys.select(*KEYS).withColumn("__hot", F.lit(1)))
+        salted = batch.join(hot, on=KEYS, how="left").withColumn(
+            "__salt",
+            F.when(F.col("__hot").isNotNull(), F.pmod(F.xxhash64("lsn"), F.lit(n_salts))).otherwise(F.lit(0)).cast("int"),
+        )
+        phase1 = salted.groupBy(*KEYS, "__salt").agg(F.max_by(row_struct, ord_struct).alias("r"))
+    else:
+        phase1 = batch.groupBy(*KEYS, F.lit(0).alias("__salt")).agg(F.max_by(row_struct, ord_struct).alias("r"))
+    winners = (
+        phase1.groupBy(*KEYS)
+        .agg(F.max_by(F.col("r"), F.struct(*[F.col(f"r.{c}") for c in ORDER_COLS])).alias("r"))
+        .select("r.*")
+    )
+    return winners
+
+
+def detect_hot_keys(batch: DataFrame, threshold: float = 0.02, sample_fraction: float | None = None, seed: int = 42) -> DataFrame:
+    """(repo, path) keys above ``threshold`` of (sampled) batch rows."""
+    s = batch.select(*KEYS)
+    if sample_fraction:
+        s = s.sample(fraction=sample_fraction, seed=seed)
+    counts = s.groupBy(*KEYS).count()
+    total = s.count()
+    if total == 0:
+        return counts.select(*KEYS).limit(0)
+    return counts.filter(F.col("count") >= max(1, int(total * threshold))).select(*KEYS)
+
+
+def enrich_content(df: DataFrame, use_pandas_udf: bool = True) -> DataFrame:
+    """content sha256 + lang normalization — the two mandated vectorized
+    pandas UDFs (BASELINE.json input_hint). use_pandas_udf=False swaps
+    sha256 to the JVM-native F.sha2 (same result, no Python at all) for
+    benchmarking the UDF overhead."""
+    sha = sha256_udf(F.col("content")) if use_pandas_udf else F.sha2(F.col("content"), 256)
+    if use_pandas_udf:
+        lang = lang_normalize_udf(F.col("lang"))
+    else:
+        from ..functions.udfs import _LANG_ALIASES
+
+        folded = F.trim(F.lower(F.col("lang")))
+        alias_map = F.create_map(*[F.lit(x) for kv in _LANG_ALIASES.items() for x in kv])
+        lang = F.coalesce(F.element_at(alias_map, folded), folded)
+    return df.withColumn("content_sha", F.when(F.col("content").isNotNull(), sha)).withColumn("lang", lang)
+
+
+def apply_epoch(
+    spark: SparkSession,
+    table: LakeTable,
+    batch: DataFrame,
+    epoch: str,
+    n_salts: int = 16,
+    hot_threshold: float = 0.02,
+    use_pandas_udf: bool = True,
+    skew_handling: bool = True,
+    metrics_dir: str | None = None,
+) -> ApplyResult:
+    """Apply one epoch of change events. Idempotent by manifest check."""
+    epoch = str(epoch)
+    if epoch in table.applied_epochs():
+        return ApplyResult(epoch=epoch, skipped=True)
+
+    t0 = time.time()
+    snap = table.current_snapshot()
+    n_buckets = snap.n_buckets
+
+    hot = detect_hot_keys(batch, hot_threshold) if skew_handling else None
+    winners = lww_dedup(batch, hot_keys=hot, n_salts=n_salts)
+    winners = enrich_content(winners, use_pandas_udf=use_pandas_udf)
+    winners = winners.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
+    winners.persist()
+    try:
+        stats = winners.agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+        ).collect()[0]
+        touched = [r[0] for r in winners.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            # empty epoch still must be recorded (manifest completeness)
+            empty = spark.createDataFrame([], table.schema(snap).add(BUCKET_COL, "int"))
+            new_snap = table.commit_merge(empty, [], epoch, lineage={"n_events": 0})
+            return ApplyResult(epoch=epoch, skipped=False, snapshot=new_snap.version, apply_sec=time.time() - t0)
+
+        upserts = winners.filter(F.col("op") != "D").drop(*META_COLS)
+        table_schema = table.schema(snap)
+        target_schema, _changed = reconcile(table_schema, upserts.drop(BUCKET_COL).schema)
+
+        state = table.read(snap, buckets=touched).withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
+        changed_keys = winners.select(*KEYS)
+        survivors = state.join(changed_keys, on=KEYS, how="left_anti")
+
+        from .table import _conform
+
+        new_state = _conform(survivors.drop(BUCKET_COL), target_schema).unionByName(
+            _conform(upserts.drop(BUCKET_COL), target_schema)
+        )
+        new_state = new_state.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
+        # one shuffle to co-locate buckets -> exactly one file per bucket
+        n_write = max(1, min(len(touched), spark.sparkContext.defaultParallelism * 2))
+        new_state = new_state.repartition(n_write, F.col(BUCKET_COL))
+
+        lineage = {
+            "n_events": int(stats["n_keys"]),
+            "n_keys": int(stats["n_keys"]),
+            "n_deletes": int(stats["n_deletes"] or 0),
+            "min_lsn": int(stats["min_lsn"]) if stats["min_lsn"] is not None else None,
+            "max_lsn": int(stats["max_lsn"]) if stats["max_lsn"] is not None else None,
+            "touched_buckets": len(touched),
+        }
+        new_snap = table.commit_merge(new_state, touched, epoch, new_schema=target_schema, lineage=lineage)
+    finally:
+        winners.unpersist()
+
+    res = ApplyResult(
+        epoch=epoch,
+        skipped=False,
+        n_keys=int(stats["n_keys"]),
+        n_deletes=int(stats["n_deletes"] or 0),
+        n_upserts=int(stats["n_keys"]) - int(stats["n_deletes"] or 0),
+        min_lsn=int(stats["min_lsn"]) if stats["min_lsn"] is not None else None,
+        max_lsn=int(stats["max_lsn"]) if stats["max_lsn"] is not None else None,
+        touched_buckets=len(touched),
+        apply_sec=time.time() - t0,
+        snapshot=new_snap.version,
+    )
+    if metrics_dir:
+        from .metrics import write_epoch_metrics
+
+        write_epoch_metrics(spark, metrics_dir, res)
+    return res
+
+
+def iceberg_merge_sql(target: str, source_view: str, extra_cols: list[str] = ()) -> str:
+    """The equivalent MERGE INTO for a real Iceberg catalog (needs the
+    iceberg-spark-runtime jar; see session.get_spark(enable_iceberg=True)).
+    The engine above is used in-sandbox because the jar isn't available."""
+    cols = ["repo", "path", "commit", "lang", "content", "content_sha", "lsn", *extra_cols]
+    sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in KEYS)
+    names = ", ".join(cols)
+    vals = ", ".join(f"s.{c}" for c in cols)
+    return f"""
+MERGE INTO {target} t
+USING {source_view} s
+ON t.repo = s.repo AND t.path = s.path
+WHEN MATCHED AND s.op = 'D' THEN DELETE
+WHEN MATCHED THEN UPDATE SET {sets}
+WHEN NOT MATCHED AND s.op != 'D' THEN INSERT ({names}) VALUES ({vals})
+""".strip()

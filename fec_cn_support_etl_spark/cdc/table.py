@@ -1,0 +1,208 @@
+"""LakeTable — a minimal Iceberg-shaped copy-on-write table format.
+
+Why it exists: the north rule targets Iceberg MERGE INTO, but the
+Iceberg Spark runtime jar cannot be fetched in this sandbox (no
+network). LakeTable reproduces the semantics the engine needs —
+snapshot isolation, atomic commits, bucket-level copy-on-write,
+schema evolution, and an embedded idempotent commit manifest — on
+plain parquet + JSON, in ~200 lines, so the CDC engine above it is
+lake-format-agnostic (see engine.iceberg_merge_sql for the real-
+Iceberg path).
+
+Layout:
+    root/
+      snapshots/v{N}.json   -- atomic rename commit; the table IS the
+                               latest v{N}. Contains: schema (per
+                               schema_id), bucket -> [data files],
+                               applied epoch manifest, lineage refs.
+      data/v{N}/bucket={b}/*.parquet   -- files written by commit N
+
+Copy-on-write at *bucket* granularity: a commit rewrites only the hash
+buckets its keys touch; untouched buckets are carried by reference.
+With B buckets and a batch touching k keys, write amplification is
+O(k/B * table) instead of O(table) — the same economics as Iceberg
+COW with a bucket partition spec.
+
+Crash safety: data files land first, the snapshot JSON is renamed into
+place last (atomic on POSIX). A crash in between leaves orphan files
+that a replayed epoch simply ignores (manifest check), matching
+Iceberg's commit protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_COL = "__bucket"
+
+
+def bucket_expr(keys: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_json: dict[str, str]  # schema_id -> StructType json string
+    current_schema_id: str
+    buckets: dict[str, list[dict]]  # bucket -> [{path, schema_id}]
+    applied: dict[str, dict]  # epoch -> {snapshot, partitions, ts}
+    key_cols: list[str]
+    n_buckets: int
+    props: dict = field(default_factory=dict)
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._snap_dir = os.path.join(root, "snapshots")
+        self._data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------ setup
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 64,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        os.makedirs(t._snap_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            schema_json={"s0": schema.json()},
+            current_schema_id="s0",
+            buckets={},
+            applied={},
+            key_cols=list(key_cols),
+            n_buckets=n_buckets,
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        d = os.path.join(root, "snapshots")
+        return os.path.isdir(d) and any(f.endswith(".json") for f in os.listdir(d))
+
+    # --------------------------------------------------------- snapshots
+    def current_snapshot(self) -> Snapshot:
+        versions = [int(f[1:-5]) for f in os.listdir(self._snap_dir) if f.startswith("v") and f.endswith(".json")]
+        if not versions:
+            raise FileNotFoundError(f"no snapshots under {self._snap_dir}")
+        with open(os.path.join(self._snap_dir, f"v{max(versions)}.json")) as fh:
+            d = json.load(fh)
+        return Snapshot(**d)
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        tmp = os.path.join(self._snap_dir, f".v{snap.version}.json.tmp")
+        final = os.path.join(self._snap_dir, f"v{snap.version}.json")
+        with open(tmp, "w") as fh:
+            json.dump(snap.__dict__, fh, indent=1)
+        os.rename(tmp, final)  # atomic commit point
+
+    def schema(self, snap: Snapshot | None = None) -> T.StructType:
+        snap = snap or self.current_snapshot()
+        return T.StructType.fromJson(json.loads(snap.schema_json[snap.current_schema_id]))
+
+    def applied_epochs(self) -> set[str]:
+        return set(self.current_snapshot().applied.keys())
+
+    # -------------------------------------------------------------- read
+    def read(self, snap: Snapshot | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Current table state. Files are grouped by the schema they were
+        written with, read with that exact schema (no inference), cast
+        up to the current schema, and unioned — schema evolution on
+        read, the reference's _safe_read_csv generalized
+        (scripts/merge_support.py:17-36)."""
+        snap = snap or self.current_snapshot()
+        cur_schema = self.schema(snap)
+        wanted = {str(b) for b in buckets} if buckets is not None else None
+        by_schema: dict[str, list[str]] = {}
+        for b, files in snap.buckets.items():
+            if wanted is not None and b not in wanted:
+                continue
+            for f in files:
+                by_schema.setdefault(f["schema_id"], []).append(f["path"])
+        if not by_schema:
+            return self.spark.createDataFrame([], cur_schema)
+        parts = []
+        for sid, paths in sorted(by_schema.items()):
+            s = T.StructType.fromJson(json.loads(snap.schema_json[sid]))
+            df = self.spark.read.schema(s).parquet(*paths)
+            parts.append(_conform(df, cur_schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------------ commit
+    def commit_merge(
+        self,
+        new_bucket_data: DataFrame,
+        touched_buckets: list[int],
+        epoch: str,
+        new_schema: T.StructType | None = None,
+        lineage: dict | None = None,
+    ) -> Snapshot:
+        """Write the new state of ``touched_buckets`` (COW), carry every
+        other bucket by reference, record the epoch in the manifest, and
+        atomically publish snapshot N+1. Replay-safe: caller must check
+        ``epoch in applied_epochs()`` first (engine does)."""
+        snap = self.current_snapshot()
+        version = snap.version + 1
+        schema_json = dict(snap.schema_json)
+        schema_id = snap.current_schema_id
+        if new_schema is not None and new_schema.json() != schema_json[schema_id]:
+            schema_id = f"s{len(schema_json)}"
+            schema_json[schema_id] = new_schema.json()
+
+        out_dir = os.path.join(self._data_dir, f"v{version}")
+        (
+            new_bucket_data.write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        buckets = {b: files for b, files in snap.buckets.items() if int(b) not in set(touched_buckets)}
+        for b in touched_buckets:
+            bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+            if os.path.isdir(bdir):
+                buckets[str(b)] = [{"path": bdir, "schema_id": schema_id}]
+            # empty bucket (all rows deleted) -> no files, bucket absent
+        applied = dict(snap.applied)
+        applied[str(epoch)] = {"snapshot": version, "ts": time.time(), **(lineage or {})}
+        new_snap = Snapshot(
+            version=version,
+            schema_json=schema_json,
+            current_schema_id=schema_id,
+            buckets=buckets,
+            applied=applied,
+            key_cols=snap.key_cols,
+            n_buckets=snap.n_buckets,
+        )
+        self._write_snapshot(new_snap)
+        return new_snap
+
+
+def _conform(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project/cast df to the target schema: missing columns -> typed
+    nulls, widened types -> cast (int->long, float->double)."""
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

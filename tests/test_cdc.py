@@ -1,0 +1,183 @@
+"""CDC engine correctness: final-state sha256 equality vs an
+independent pure-pandas replayer (FIXTURES.md §B3), plus the north-rule
+scenario coverage: duplicate delivery no-op, delete/re-insert, schema
+evolution mid-stream, resume-from-checkpoint, hot-key skew.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+import pytest
+
+from fec_cn_support_etl_spark.cdc import events as ev
+from fec_cn_support_etl_spark.cdc import runner
+from fec_cn_support_etl_spark.cdc.table import LakeTable
+
+N_EVENTS = 6000
+EPOCHS = 6
+EVOLVE_AT = 4
+
+_LANG_ALIASES = {
+    "py": "python", "python3": "python", "rs": "rust", "md": "markdown",
+    "c++": "cpp", "golang": "go", "js": "javascript", "ts": "typescript",
+}
+
+
+def pandas_oracle(wal_dir: str, epochs: list[int]) -> pd.DataFrame:
+    """Independent replayer: fold events by (repo, path), max lsn wins,
+    deletes drop the key; emit (repo, path, commit, lang_norm, sha)."""
+    frames = [pd.read_parquet(os.path.join(wal_dir, f"epoch={e}")) for e in epochs]
+    all_ev = pd.concat(frames, ignore_index=True)
+    all_ev = all_ev.sort_values("lsn").groupby(["repo", "path"], as_index=False).last()
+    alive = all_ev[all_ev["op"] != "D"].copy()
+    alive["content_sha"] = alive["content"].map(
+        lambda c: hashlib.sha256(c.encode()).hexdigest() if isinstance(c, str) else None
+    )
+    alive["lang"] = alive["lang"].map(lambda v: _LANG_ALIASES.get(v.strip().lower(), v.strip().lower()))
+    return alive[["repo", "path", "commit", "lang", "content_sha", "lsn"]].sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def table_state(spark, table_dir: str) -> pd.DataFrame:
+    t = LakeTable(spark, table_dir)
+    cols = ["repo", "path", "commit", "lang", "content_sha", "lsn"]
+    return t.read().select(*cols).toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def state_digest(df: pd.DataFrame) -> str:
+    payload = "\n".join("|".join("" if pd.isna(v) else str(v) for v in row) for row in df.itertuples(index=False))
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def wal(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wal"))
+    df = ev.gen_change_events(
+        spark, N_EVENTS, n_repos=20, n_paths=60, epochs=EPOCHS, hot_fraction=0.35,
+        delete_ratio=0.08, evolve_from_epoch=EVOLVE_AT, seed=7, partitions=4,
+    )
+    ev.write_wal(df, d)
+    return d
+
+
+def test_full_replay_matches_pandas_oracle(spark, wal, tmp_path):
+    table_dir = str(tmp_path / "lake")
+    summary = runner.replay(spark, wal, table_dir, n_buckets=16, metrics_dir=str(tmp_path / "m"))
+    assert summary["epochs_applied"] == EPOCHS
+    got = table_state(spark, table_dir)
+    want = pandas_oracle(wal, list(range(EPOCHS)))
+    assert len(got) == len(want), f"{len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    assert state_digest(got) == state_digest(want[got.columns])
+
+
+def test_duplicate_delivery_is_noop(spark, wal, tmp_path):
+    table_dir = str(tmp_path / "lake")
+    runner.replay(spark, wal, table_dir, n_buckets=16)
+    before = LakeTable(spark, table_dir).current_snapshot().version
+    d1 = state_digest(table_state(spark, table_dir))
+    # re-deliver the whole WAL
+    summary = runner.replay(spark, wal, table_dir, n_buckets=16)
+    assert summary["epochs_applied"] == 0
+    after = LakeTable(spark, table_dir).current_snapshot().version
+    assert after == before, "duplicate delivery must not create snapshots"
+    assert state_digest(table_state(spark, table_dir)) == d1
+
+
+def test_resume_from_checkpoint(spark, wal, tmp_path):
+    full_dir = str(tmp_path / "full")
+    part_dir = str(tmp_path / "part")
+    runner.replay(spark, wal, full_dir, n_buckets=16)
+    # crash after 3 epochs, then resume
+    runner.replay(spark, wal, part_dir, n_buckets=16, stop_after=3)
+    t = LakeTable(spark, part_dir)
+    assert len(t.applied_epochs()) == 3
+    summary = runner.replay(spark, wal, part_dir, n_buckets=16)
+    assert summary["epochs_applied"] == EPOCHS - 3
+    assert state_digest(table_state(spark, part_dir)) == state_digest(table_state(spark, full_dir))
+
+
+def test_skew_handling_same_result(spark, wal, tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    runner.replay(spark, wal, a, n_buckets=16, skew_handling=True)
+    runner.replay(spark, wal, b, n_buckets=16, skew_handling=False)
+    assert state_digest(table_state(spark, a)) == state_digest(table_state(spark, b))
+
+
+def test_schema_evolution_added_column(spark, wal, tmp_path):
+    table_dir = str(tmp_path / "lake")
+    runner.replay(spark, wal, table_dir, n_buckets=16)
+    t = LakeTable(spark, table_dir)
+    schema = t.schema()
+    assert "size_bytes" in schema.fieldNames(), "added column must reach the table schema"
+    df = t.read().toPandas()
+    evolved = df[df["size_bytes"].notna()]
+    legacy = df[df["size_bytes"].isna()]
+    # rows last-written before the evolution epoch read as NULL
+    assert len(evolved) > 0
+    assert len(legacy) > 0
+    # and the added value is consistent with the content it describes
+    sample = evolved.head(50)
+    assert (sample["size_bytes"] == sample["content"].str.len()).all()
+
+
+def test_delete_then_reinsert(spark, tmp_path):
+    """Handcrafted WAL: key inserted (epoch 0), deleted (1), re-inserted (2)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("epoch", T.IntegerType()),
+        ]
+    )
+    rows = [
+        (1, "I", "r", "a.py", "c1", "PY", "v1", 0),
+        (2, "I", "r", "b.py", "c2", "py", "v1b", 0),
+        (3, "D", "r", "a.py", "c3", "py", None, 1),
+        (4, "U", "r", "b.py", "c4", "Python", "v2b", 1),
+        (5, "I", "r", "a.py", "c5", "rs", "v2", 2),
+        (6, "D", "r", "never-existed.py", "c6", "py", None, 2),
+    ]
+    wal_dir = str(tmp_path / "wal")
+    spark.createDataFrame(rows, schema).write.partitionBy("epoch").parquet(wal_dir)
+    table_dir = str(tmp_path / "lake")
+    runner.replay(spark, wal_dir, table_dir, n_buckets=4)
+    got = table_state(spark, table_dir)
+    assert list(got["path"]) == ["a.py", "b.py"]
+    assert list(got["lsn"]) == [5, 4]
+    assert list(got["lang"]) == ["rust", "python"]
+    assert got.loc[got["path"] == "a.py", "content_sha"].iloc[0] == hashlib.sha256(b"v2").hexdigest()
+
+
+def test_native_sha_matches_pandas_udf(spark, wal, tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    runner.replay(spark, wal, a, use_pandas_udf=True)
+    runner.replay(spark, wal, b, use_pandas_udf=False)
+    assert state_digest(table_state(spark, a)) == state_digest(table_state(spark, b))
+
+
+def test_metrics_lineage(spark, wal, tmp_path):
+    from fec_cn_support_etl_spark.cdc.metrics import read_metrics
+
+    table_dir = str(tmp_path / "lake")
+    mdir = str(tmp_path / "metrics")
+    runner.replay(spark, wal, table_dir, n_buckets=16, metrics_dir=mdir)
+    m = read_metrics(spark, mdir).toPandas()
+    assert len(m) == EPOCHS
+    assert (m["n_keys"] > 0).all()
+    assert (m["apply_sec"] > 0).all()
+    # lineage also lives in the snapshot manifest
+    snap = LakeTable(spark, table_dir).current_snapshot()
+    assert set(snap.applied.keys()) == {str(e) for e in range(EPOCHS)}
+    assert all("max_lsn" in v for v in snap.applied.values())
