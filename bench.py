@@ -1,0 +1,106 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], plus a CDC ingest throughput probe.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "cdc": {...}}
+
+Query timing = full execution to a count/collect-free sink
+(df.write.format("noop")) so we measure the whole plan, not driver
+materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fec_cn_support_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "fec_final_support_analog",
+    "broadcast_enrich_join",
+    "conditional_pivot_agg",
+    "top1_per_group_lww",
+    "window_running_sum",
+    "dedup_exact_groups",
+    "minhash_neardup_pairs",
+    "simhash_neardup_pairs",
+    "text_quality_score",
+    "text_lang_id",
+    "ann_cosine_topk",
+]
+
+CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_CDC_EVENTS", "400000"))
+CDC_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_CDC_EPOCHS", "4"))
+
+
+def time_query(spark, fn, sf_dir) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def cdc_bench(spark, events: int, epochs: int) -> dict:
+    from fec_cn_support_etl_spark.cdc import events as ev
+    from fec_cn_support_etl_spark.cdc import runner
+
+    work = tempfile.mkdtemp(prefix="cdc-bench-")
+    try:
+        wal = os.path.join(work, "wal")
+        ev.write_wal(
+            ev.gen_change_events(spark, events, n_repos=200, n_paths=500, epochs=epochs, evolve_from_epoch=None, seed=42),
+            wal,
+        )
+        summary = runner.replay(spark, wal, os.path.join(work, "lake"), n_buckets=64, log=lambda *_: None)
+        return {
+            "events": summary["events"],
+            "wall_sec": round(summary["wall_sec"], 2),
+            "events_per_sec": round(summary["events_per_sec"], 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    from fec_cn_support_etl_spark.plans import catalog
+
+    # warmup (JIT/codegen/class-loading) on the smallest sf
+    catalog.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    queries = {}
+    t_all0 = time.time()
+    for name in HEADLINE:
+        queries[name] = round(time_query(spark, catalog.QUERIES[name], sf_dir), 3)
+    total = time.time() - t_all0
+
+    cdc = cdc_bench(spark, CDC_EVENTS, CDC_EPOCHS)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline query wall time at sf + CDC upsert throughput",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc": cdc,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

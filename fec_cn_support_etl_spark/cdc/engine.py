@@ -67,22 +67,29 @@ def lww_dedup(
 ) -> DataFrame:
     """Last-writer-wins image per (repo, path): max-by-(lsn, commit).
 
-    Two-phase salted aggregation (explicit skew handling): hot keys are
-    spread over n_salts partial groups first. Reference analog: the
-    prefer-principal / keep-first dedup (scripts/merge_support.py:150-180)
-    generalized to a total LSN order.
+    Two-phase salted aggregation (explicit skew handling): every key is
+    spread over ``n_salts`` partial groups first (salt derived from the
+    unique lsn — deterministic, replay-stable), then the <=n_salts
+    partials per key reduce in a second, tiny aggregation. A hot key
+    therefore never lands on a single reducer, with no histogram pass
+    needed. Passing ``hot_keys`` restricts salting to those keys
+    (saves the phase-1 fan-out when skew is known to be absent).
+
+    Reference analog: the prefer-principal / keep-first dedup
+    (scripts/merge_support.py:150-180) generalized to a total LSN order.
     """
     ord_struct = F.struct(*[F.col(c) for c in ORDER_COLS])
     row_struct = F.struct(*[F.col(c) for c in batch.columns])
-    if hot_keys is not None:
+    if hot_keys is None:
+        salt = F.pmod(F.xxhash64("lsn"), F.lit(n_salts)).cast("int")
+        salted = batch.withColumn("__salt", salt)
+    else:
         hot = F.broadcast(hot_keys.select(*KEYS).withColumn("__hot", F.lit(1)))
         salted = batch.join(hot, on=KEYS, how="left").withColumn(
             "__salt",
             F.when(F.col("__hot").isNotNull(), F.pmod(F.xxhash64("lsn"), F.lit(n_salts))).otherwise(F.lit(0)).cast("int"),
         )
-        phase1 = salted.groupBy(*KEYS, "__salt").agg(F.max_by(row_struct, ord_struct).alias("r"))
-    else:
-        phase1 = batch.groupBy(*KEYS, F.lit(0).alias("__salt")).agg(F.max_by(row_struct, ord_struct).alias("r"))
+    phase1 = salted.groupBy(*KEYS, "__salt").agg(F.max_by(row_struct, ord_struct).alias("r"))
     winners = (
         phase1.groupBy(*KEYS)
         .agg(F.max_by(F.col("r"), F.struct(*[F.col(f"r.{c}") for c in ORDER_COLS])).alias("r"))
@@ -140,8 +147,9 @@ def apply_epoch(
     snap = table.current_snapshot()
     n_buckets = snap.n_buckets
 
-    hot = detect_hot_keys(batch, hot_threshold) if skew_handling else None
-    winners = lww_dedup(batch, hot_keys=hot, n_salts=n_salts)
+    # skew_handling=True -> uniform two-phase salting (no histogram pass);
+    # False -> single-phase groupBy (baseline for the skew A/B test)
+    winners = lww_dedup(batch, n_salts=n_salts if skew_handling else 1)
     winners = enrich_content(winners, use_pandas_udf=use_pandas_udf)
     winners = winners.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
     winners.persist()
@@ -151,8 +159,9 @@ def apply_epoch(
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
             F.min("lsn").alias("min_lsn"),
             F.max("lsn").alias("max_lsn"),
+            F.collect_set(BUCKET_COL).alias("buckets"),
         ).collect()[0]
-        touched = [r[0] for r in winners.select(BUCKET_COL).distinct().collect()]
+        touched = sorted(stats["buckets"])
         if not touched:
             # empty epoch still must be recorded (manifest completeness)
             empty = spark.createDataFrame([], table.schema(snap).add(BUCKET_COL, "int"))

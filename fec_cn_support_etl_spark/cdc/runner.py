@@ -118,8 +118,17 @@ def main(argv=None):
     p.add_argument("--native-sha", action="store_true", help="use JVM sha2 instead of the pandas UDF")
     p.add_argument("--no-skew-handling", action="store_true")
     p.add_argument("--stop-after", type=int, default=None, help="apply at most N epochs (crash/resume testing)")
+    p.add_argument("--warmup", action="store_true", help="run a small throwaway replay first (JVM/codegen warmup)")
     a = p.parse_args(argv)
     spark = get_spark(app_name="cdc-replay", master=a.master)
+    if a.warmup:
+        import tempfile
+
+        from .events import gen_change_events, write_wal
+
+        wdir = tempfile.mkdtemp(prefix="cdc-warmup-")
+        write_wal(gen_change_events(spark, 50_000, epochs=1, seed=1), os.path.join(wdir, "wal"))
+        replay(spark, os.path.join(wdir, "wal"), os.path.join(wdir, "lake"), log=lambda *_: None)
     summary = replay(
         spark,
         a.wal,

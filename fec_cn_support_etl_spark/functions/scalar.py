@@ -31,8 +31,10 @@ def extract_year(col: Column | str) -> Column:
 
 
 def coerce_double(col: Column | str) -> Column:
+    """try_cast, not cast: Spark 4 runs ANSI mode by default, where a
+    plain cast of junk THROWS; try_cast -> NULL matches pandas coerce."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("double")
+    return c.try_cast("double")
 
 
 def int_flag(cond: Column) -> Column:

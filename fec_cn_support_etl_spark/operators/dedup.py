@@ -136,6 +136,24 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame, threshold: float = 0.7
     )
 
 
+def signature_verify(pairs: DataFrame, signatures: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Estimate Jaccard as the fraction of agreeing minhash positions —
+    the scale path for verification: joins only the k-int signatures,
+    never the shingle sets. Unbiased estimator with stderr
+    ~ sqrt(j(1-j)/k); use jaccard_verify (exact) when candidates are few.
+    """
+    sa = signatures.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_est", agree / F.size("sig_a"))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -144,13 +162,20 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    verify: str = "signature",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup: shingle -> minhash -> band ->
-    bucket-join -> exact-Jaccard verify."""
+    bucket-join -> verify (``signature`` estimate at scale, ``exact``
+    Jaccard for small/ground-truth runs)."""
+    if n_partitions:
+        df = df.repartition(n_partitions)
     sh = char_shingles(df, id_col, text_col, k)
     sig = minhash_signatures(sh, num_hashes)
     pairs = minhash_lsh_pairs(sig, bands)
-    return jaccard_verify(pairs, sh, threshold)
+    if verify == "exact":
+        return jaccard_verify(pairs, sh, threshold)
+    return signature_verify(pairs, sig, threshold)
 
 
 # -------------------------------------------------------------- simhash

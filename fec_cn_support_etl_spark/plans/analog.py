@@ -116,21 +116,42 @@ def pac_support_analog(spark: SparkSession, sf_dir: str, offices=("S", "P")) -> 
 
 def final_support_analog(spark: SparkSession, sf_dir: str, offices=("S", "P")) -> DataFrame:
     """Mirror of merge_support.main (reference scripts/merge_support.py:
-    86-325): candidate spine LEFT JOIN each support table, fill 0,
-    horizontal total, HAS_MONEY flag, mixed-direction sort."""
+    86-325): candidate spine LEFT JOIN the support categories, fill 0,
+    horizontal total, HAS_MONEY flag.
+
+    Scale optimization over the reference: the reference computes the
+    three categories with SIX fact rescans across four scripts
+    (scripts/run_all.py:24-27); here all four support columns come from
+    ONE fact scan via conditional aggregation, then a single left join
+    onto the spine. Same results (oracle-checked), 1/6 the IO.
+    """
     spine = candidate_spine(spark, sf_dir, offices)
-    indiv = support_by_candidate(spark, sf_dir, returnflag="N", offices=offices).withColumnRenamed(
-        "support", "individual_support"
+    fact = _mapped_fact(spark, sf_dir).filter(
+        (F.col("l_quantity") > 0)
+        & F.col("linked_cand_id").isNotNull()
+        & F.col("l_returnflag").isin("N", "R", "A")
     )
-    superpac = support_by_candidate(spark, sf_dir, returnflag="R", offices=offices).withColumnRenamed(
-        "support", "superpac_ie_support"
+    valid = semi_filter(fact.withColumnRenamed("linked_cand_id", "cand_id"), spine, "cand_id")
+    amt = dec("l_extendedprice")
+    piv = conditional_sum_pivot(
+        valid,
+        keys=["cand_id"],
+        amount=amt,
+        buckets={
+            "individual_raw": F.col("l_returnflag") == "N",
+            "corp_raw": (F.col("l_returnflag") == "A") & (F.col("l_linestatus") == "O"),
+            "nonconn_raw": (F.col("l_returnflag") == "A") & (F.col("l_linestatus") != "O"),
+            "superpac_raw": F.col("l_returnflag") == "R",
+        },
     )
-    pac = pac_support_analog(spark, sf_dir, offices)
-    merged = (
-        spine.join(indiv, "cand_id", "left")
-        .join(pac, "cand_id", "left")
-        .join(superpac, "cand_id", "left")
+    supports = piv.select(
+        "cand_id",
+        money("individual_raw").alias("individual_support"),
+        money("corp_raw").alias("corp_support"),
+        money("nonconn_raw").alias("nonconn_support"),
+        money("superpac_raw").alias("superpac_ie_support"),
     )
+    merged = spine.join(supports, "cand_id", "left")
     parts = ["individual_support", "corp_support", "nonconn_support", "superpac_ie_support"]
     out = horizontal_total(merged, parts, total_col="total_support", flag_col="has_money")
     return out.select("cand_id", "cand_name", "office", *parts, "total_support", "has_money")

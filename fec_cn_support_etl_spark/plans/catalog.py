@@ -698,13 +698,16 @@ def minhash_neardup_pairs_q(spark, sf_dir):
     """MinHash+LSH near-dup pairs (rows-only driver check; exactness is
     covered by tests/test_dedup.py against a brute-force oracle)."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(d, "doc_id", "text", k=5, num_hashes=32, bands=8, threshold=0.5)
+    return minhash_dedup_pairs(
+        d, "doc_id", "text", k=5, num_hashes=32, bands=8, threshold=0.5,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 @_q("simhash_neardup_pairs")
 def simhash_neardup_pairs_q(spark, sf_dir):
     """SimHash near-dup pairs (rows-only; Hamming verify in tests)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
     return simhash_near_pairs(simhash(d, "doc_id", "text"), max_hamming=6, chunks=4)
 
 

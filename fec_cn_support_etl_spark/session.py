@@ -54,6 +54,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # local mode: shuffle goes through driver disk; keep codegen on.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
