@@ -168,19 +168,43 @@ def apply_epoch(
             new_snap = table.commit_merge(empty, [], epoch, lineage={"n_events": 0})
             return ApplyResult(epoch=epoch, skipped=False, snapshot=new_snap.version, apply_sec=time.time() - t0)
 
-        upserts = winners.filter(F.col("op") != "D").drop(*META_COLS)
-        table_schema = table.schema(snap)
-        target_schema, _changed = reconcile(table_schema, upserts.drop(BUCKET_COL).schema)
+        from pyspark.sql import types as T
 
-        state = table.read(snap, buckets=touched).withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
+        from .table import DELETED_COL, _conform
+
+        batch_payload_schema = T.StructType(
+            [f for f in winners.schema.fields if f.name not in (BUCKET_COL, *META_COLS)]
+            + [T.StructField(DELETED_COL, T.BooleanType())]
+        )
+        table_schema = table.schema(snap)
+        target_schema, _changed = reconcile(table_schema, batch_payload_schema)
+
+        state = table.read(snap, buckets=touched, include_deleted=True)
         changed_keys = winners.select(*KEYS)
         survivors = state.join(changed_keys, on=KEYS, how="left_anti")
 
-        from .table import _conform
-
-        new_state = _conform(survivors.drop(BUCKET_COL), target_schema).unionByName(
-            _conform(upserts.drop(BUCKET_COL), target_schema)
+        # Conditional LWW against existing state (MERGE ... WHEN MATCHED
+        # AND s.lsn > t.lsn semantics): batches need NOT arrive in LSN
+        # order (streaming file order, backfill replays). The state row
+        # (including tombstones) competes with the batch winner; highest
+        # (lsn, commit) wins. Deletes become tombstone rows, so an
+        # out-of-order older upsert cannot resurrect a deleted key;
+        # read() hides tombstones.
+        contested_state = _conform(state, target_schema).join(changed_keys, on=KEYS, how="left_semi")
+        contested_batch = _conform(
+            winners.drop(BUCKET_COL, "epoch").withColumn(DELETED_COL, F.col("op") == "D").drop("op"),
+            target_schema,
         )
+        ord_struct = F.struct(*[F.col(c) for c in ORDER_COLS])
+        row_cols = [f.name for f in target_schema.fields]
+        resolved = (
+            contested_state.unionByName(contested_batch)
+            .groupBy(*KEYS)
+            .agg(F.max_by(F.struct(*row_cols), ord_struct).alias("r"))
+            .select("r.*")
+        )
+
+        new_state = _conform(survivors, target_schema).unionByName(resolved)
         new_state = new_state.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
         # one shuffle to co-locate buckets -> exactly one file per bucket
         n_write = max(1, min(len(touched), spark.sparkContext.defaultParallelism * 2))

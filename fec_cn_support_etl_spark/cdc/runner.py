@@ -38,6 +38,7 @@ TABLE_SCHEMA = T.StructType(
         T.StructField("content", T.StringType()),
         T.StructField("content_sha", T.StringType()),
         T.StructField("lsn", T.LongType()),
+        T.StructField("_deleted", T.BooleanType()),  # tombstones (out-of-order LWW safety)
     ]
 )
 

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BUCKET_COL = "__bucket"
+DELETED_COL = "_deleted"
 
 
 def bucket_expr(keys: list[str], n_buckets: int):
@@ -120,12 +121,22 @@ class LakeTable:
         return set(self.current_snapshot().applied.keys())
 
     # -------------------------------------------------------------- read
-    def read(self, snap: Snapshot | None = None, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        snap: Snapshot | None = None,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
         """Current table state. Files are grouped by the schema they were
         written with, read with that exact schema (no inference), cast
         up to the current schema, and unioned — schema evolution on
         read, the reference's _safe_read_csv generalized
-        (scripts/merge_support.py:17-36)."""
+        (scripts/merge_support.py:17-36).
+
+        Deletes are stored as tombstone rows (``_deleted`` true) so that
+        out-of-order batches can still lose LWW against a delete; normal
+        reads filter them out and hide the column. ``include_deleted``
+        exposes them (the merge path needs them)."""
         snap = snap or self.current_snapshot()
         cur_schema = self.schema(snap)
         wanted = {str(b) for b in buckets} if buckets is not None else None
@@ -145,6 +156,8 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if not include_deleted and DELETED_COL in out.columns:
+            out = out.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return out
 
     # ------------------------------------------------------------ commit

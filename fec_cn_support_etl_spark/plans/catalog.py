@@ -690,6 +690,30 @@ def ann_cosine_topk(spark, sf_dir):
     return res.withColumn("rank", F.row_number().over(w)).select("query_id", "id", "rank")
 
 
+@_q(
+    "stream_windowed_agg",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_agg(spark, sf_dir):
+    """Structured Streaming: watermarked tumbling-window agg run to
+    completion with availableNow — the complete output equals the batch
+    GROUP BY date_trunc (oracle)."""
+    global _STREAM_SINK_N
+    _STREAM_SINK_N += 1
+    from ..streaming.pipeline import windowed_event_agg
+
+    return windowed_event_agg(spark, f"{sf_dir}/events.parquet", sink_table=f"windowed_agg_{_STREAM_SINK_N}")
+
+
+_STREAM_SINK_N = 0
+
+
 # ----- rows-only checks (xxhash64 sketches have no ANSI-SQL twin) -----
 
 

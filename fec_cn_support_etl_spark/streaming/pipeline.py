@@ -1,0 +1,109 @@
+"""Structured Streaming surfaces.
+
+1. ``stream_cdc_ingest``: the CDC engine in true streaming form — a
+   file-source readStream tails the WAL directory and ``foreachBatch``
+   applies each micro-batch through the same engine.apply_epoch
+   (epoch = micro-batch id). Exactly-once = Spark checkpoint (source
+   offsets) x the table's own idempotent epoch manifest: if a batch is
+   re-delivered after a crash, the manifest makes the re-apply a no-op.
+   This is the north rule's "binlog/WAL tail" shape; the batch runner
+   (cdc/runner.py) is the replay/backfill shape of the same engine.
+
+2. ``windowed_event_agg``: watermarked tumbling-window aggregation over
+   the events table (late data handled by the watermark), the standard
+   streaming-agg pattern, runnable with availableNow=True so tests and
+   the DuckDB oracle can compare its complete output.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cdc.engine import apply_epoch
+from ..cdc.table import LakeTable
+
+
+def stream_cdc_ingest(
+    spark: SparkSession,
+    wal_dir: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    n_salts: int = 16,
+    use_pandas_udf: bool = True,
+):
+    """Tail the WAL dir as a stream; upsert each micro-batch. Returns
+    the StreamingQuery (caller awaits termination)."""
+    batch_schema = spark.read.parquet(wal_dir).schema
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_epoch(
+            spark,
+            table,
+            batch_df,
+            epoch=f"stream-{batch_id}",
+            n_salts=n_salts,
+            use_pandas_udf=use_pandas_udf,
+        )
+
+    reader = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(wal_dir)
+    )
+    writer = reader.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_agg(
+    spark: SparkSession,
+    events_path: str,
+    sink_table: str = "windowed_agg",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window agg with watermark, run to completion via
+    availableNow + memory sink; returns the complete result as a
+    batch DataFrame (window_start formatted for oracle comparison)."""
+    schema = spark.read.parquet(events_path).schema
+    # the file stream source needs a directory; point at the parent with
+    # a glob filter when given a single parquet file
+    if os.path.isfile(events_path):
+        reader = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .parquet(os.path.dirname(events_path))
+        )
+    else:
+        reader = spark.readStream.schema(schema).parquet(events_path)
+    # parquet TIMESTAMP_NTZ -> session-TZ timestamp (watermarks require
+    # TIMESTAMP; session TZ is UTC so the wall-clock value is unchanged)
+    stream = reader.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total_value"),
+            F.count("*").alias("n"),
+        )
+    )
+    q = (
+        agg.select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "total_value",
+            "n",
+        )
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

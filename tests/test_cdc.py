@@ -167,6 +167,23 @@ def test_native_sha_matches_pandas_udf(spark, wal, tmp_path):
     assert state_digest(table_state(spark, a)) == state_digest(table_state(spark, b))
 
 
+def test_out_of_order_epoch_delivery(spark, wal, tmp_path):
+    """Applying epochs in reverse order must converge to the same state:
+    the merge is conditional LWW (s.lsn > t.lsn), not blind replace."""
+    import os
+
+    from fec_cn_support_etl_spark.cdc.engine import apply_epoch
+
+    fwd = str(tmp_path / "fwd")
+    rev = str(tmp_path / "rev")
+    runner.replay(spark, wal, fwd, n_buckets=16)
+    table = runner.open_or_create(spark, rev, 16)
+    for e in reversed(range(EPOCHS)):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_epoch(spark, table, batch, str(e))
+    assert state_digest(table_state(spark, rev)) == state_digest(table_state(spark, fwd))
+
+
 def test_metrics_lineage(spark, wal, tmp_path):
     from fec_cn_support_etl_spark.cdc.metrics import read_metrics
 
