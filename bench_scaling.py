@@ -58,6 +58,31 @@ def run_replay(wal: str, table: str, cores: int) -> dict:
     return eval(last)  # runner prints a python dict literal
 
 
+def wait_for_quiet_host(max_wait_sec: int = 600, steal_pct_max: float = 3.0) -> float:
+    """Block until hypervisor CPU steal over a 5s window drops below
+    ``steal_pct_max`` (this sandbox shows minute-scale contention
+    episodes that swamp any scaling measurement). Returns last reading."""
+    import time as _t
+
+    def _read():
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+
+    deadline = _t.time() + max_wait_sec
+    steal = 100.0
+    while _t.time() < deadline:
+        a = _read()
+        _t.sleep(5)
+        b = _read()
+        d = [y - x for x, y in zip(a, b)]
+        tot = sum(d) or 1
+        steal = 100.0 * d[7] / tot
+        busy = 100.0 * (sum(d) - d[3] - d[4]) / tot
+        if steal < steal_pct_max and busy < 20.0:
+            return steal
+    return steal
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--events", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "4000000")))
@@ -77,7 +102,9 @@ def main():
         for t in range(a.trials):
             shutil.rmtree(os.path.join(work, "lake_low"), ignore_errors=True)
             shutil.rmtree(os.path.join(work, "lake_high"), ignore_errors=True)
+            wait_for_quiet_host()
             lows.append(run_replay(wal, os.path.join(work, "lake_low"), a.low))
+            wait_for_quiet_host()
             highs.append(run_replay(wal, os.path.join(work, "lake_high"), a.high))
         r_low = max(lows, key=lambda r: r["events_per_sec"])
         r_high = max(highs, key=lambda r: r["events_per_sec"])

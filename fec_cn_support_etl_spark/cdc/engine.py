@@ -133,7 +133,6 @@ def apply_epoch(
     batch: DataFrame,
     epoch: str,
     n_salts: int = 16,
-    hot_threshold: float = 0.02,
     use_pandas_udf: bool = True,
     skew_handling: bool = True,
     metrics_dir: str | None = None,

@@ -43,6 +43,18 @@ TABLE_SCHEMA = T.StructType(
 )
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers on the driver — saves one Spark
+    job per epoch (the count is for throughput accounting only)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
+
+
 def list_epochs(wal_dir: str) -> list[int]:
     eps = []
     for name in os.listdir(wal_dir):
@@ -78,8 +90,9 @@ def replay(
     for i, ep in enumerate(list_epochs(wal_dir)):
         if stop_after is not None and applied >= stop_after:
             break
-        batch = spark.read.parquet(os.path.join(wal_dir, f"epoch={ep}"))
-        n = batch.count()
+        epoch_dir = os.path.join(wal_dir, f"epoch={ep}")
+        batch = spark.read.parquet(epoch_dir)
+        n = _parquet_rows(epoch_dir)  # footer metadata, no Spark job
         res = apply_epoch(
             spark,
             table,

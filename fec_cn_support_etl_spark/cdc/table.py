@@ -195,6 +195,9 @@ class LakeTable:
             # empty bucket (all rows deleted) -> no files, bucket absent
         applied = dict(snap.applied)
         applied[str(epoch)] = {"snapshot": version, "ts": time.time(), **(lineage or {})}
+        return self._publish(snap, version, schema_json, schema_id, buckets, applied)
+
+    def _publish(self, snap, version, schema_json, schema_id, buckets, applied) -> Snapshot:
         new_snap = Snapshot(
             version=version,
             schema_json=schema_json,
@@ -206,6 +209,74 @@ class LakeTable:
         )
         self._write_snapshot(new_snap)
         return new_snap
+
+    # ------------------------------------------------------- maintenance
+    def purge_tombstones(self, below_lsn: int) -> Snapshot:
+        """Rewrite every bucket containing tombstones with lsn <
+        ``below_lsn`` (the ingest watermark: no event below it can still
+        arrive, so the tombstones have no one left to defend against).
+        Publishes a new snapshot; a no-op when nothing qualifies."""
+        snap = self.current_snapshot()
+        cur_schema = self.schema(snap)
+        if DELETED_COL not in cur_schema.fieldNames():
+            return snap
+        full = self.read(snap, include_deleted=True)
+        doomed = full.filter(
+            F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col("lsn") < below_lsn)
+        )
+        touched = [
+            r[0]
+            for r in doomed.select(bucket_expr(snap.key_cols, snap.n_buckets).alias("b")).distinct().collect()
+        ]
+        if not touched:
+            return snap
+        kept = (
+            full.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
+            .filter(F.col(BUCKET_COL).isin(touched))
+            .filter(~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col("lsn") < below_lsn)))
+            .repartition(max(1, len(touched)), F.col(BUCKET_COL))
+        )
+        return self.commit_merge(kept, touched, epoch=f"purge-{snap.version}-{below_lsn}")
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Delete data dirs not referenced by the ``keep_last`` newest
+        snapshots, plus superseded snapshot JSONs. Returns dirs removed.
+        Orphans from crashed commits are collected here too."""
+        import shutil
+
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(self._snap_dir) if f.startswith("v") and f.endswith(".json")
+        )
+        keep_versions = versions[-keep_last:]
+        kept_snaps = []
+        for v in keep_versions:
+            with open(os.path.join(self._snap_dir, f"v{v}.json")) as fh:
+                kept_snaps.append(Snapshot(**json.load(fh)))
+        referenced = _referenced_dirs(kept_snaps)
+        removed = 0
+        for vdir in os.listdir(self._data_dir):
+            vpath = os.path.join(self._data_dir, vdir)
+            if not os.path.isdir(vpath):
+                continue
+            bucket_dirs = {os.path.join(vpath, d) for d in os.listdir(vpath) if d.startswith(BUCKET_COL + "=")}
+            if bucket_dirs and bucket_dirs.isdisjoint(referenced):
+                shutil.rmtree(vpath, ignore_errors=True)
+                removed += 1
+            else:
+                for bd in sorted(bucket_dirs - referenced):
+                    shutil.rmtree(bd, ignore_errors=True)
+        for v in versions[:-keep_last]:
+            os.remove(os.path.join(self._snap_dir, f"v{v}.json"))
+        return removed
+
+
+def _referenced_dirs(snaps: list[Snapshot]) -> set[str]:
+    out = set()
+    for s in snaps:
+        for files in s.buckets.values():
+            for f in files:
+                out.add(f["path"])
+    return out
 
 
 def _conform(df: DataFrame, target: T.StructType) -> DataFrame:

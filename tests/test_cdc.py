@@ -184,6 +184,25 @@ def test_out_of_order_epoch_delivery(spark, wal, tmp_path):
     assert state_digest(table_state(spark, rev)) == state_digest(table_state(spark, fwd))
 
 
+def test_purge_tombstones_and_vacuum(spark, wal, tmp_path):
+    import os
+
+    table_dir = str(tmp_path / "lake")
+    runner.replay(spark, wal, table_dir, n_buckets=16)
+    t = LakeTable(spark, table_dir)
+    visible_before = state_digest(table_state(spark, table_dir))
+    n_tombs = t.read(include_deleted=True).filter("_deleted").count()
+    assert n_tombs > 0
+    t.purge_tombstones(below_lsn=10**12)
+    assert t.read(include_deleted=True).filter("_deleted").count() == 0
+    assert state_digest(table_state(spark, table_dir)) == visible_before
+    removed = t.vacuum(keep_last=1)
+    assert removed > 0
+    # table still reads fine after vacuum
+    assert state_digest(table_state(spark, table_dir)) == visible_before
+    assert len(os.listdir(os.path.join(table_dir, "snapshots"))) == 1
+
+
 def test_metrics_lineage(spark, wal, tmp_path):
     from fec_cn_support_etl_spark.cdc.metrics import read_metrics
 

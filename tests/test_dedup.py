@@ -1,0 +1,94 @@
+"""Dedup operators against brute-force Python oracles on constructed
+near-duplicate corpora (the oracle the driver can't run in SQL)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fec_cn_support_etl_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions across the cluster and aggregates the results "
+    "into a compact columnar table for later analysis"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+        (3, BASE.replace("quick brown", "slow red").replace("compact", "wide")),  # nearish
+        (4, "completely different text about cooking pasta with tomatoes and basil in a large pot"),
+        (5, "yet another unrelated document mentioning databases indexes transactions and logs"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _py_shingles(text: str, k: int = 5) -> set:
+    if len(text) < k:
+        return {text}
+    return {text[i : i + k] for i in range(len(text) - k + 1)}
+
+
+def _py_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = _py_shingles(a, k), _py_shingles(b, k)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark, docs):
+    kept = D.exact_dedup(docs, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 2, 3, 4, 5]  # doc 1 collapses into 0 (min id wins)
+
+
+def test_exact_dup_groups(spark, docs):
+    groups = {r["canonical_id"]: r["n_copies"] for r in D.exact_dup_groups(docs, "text", "doc_id").collect()}
+    assert groups[0] == 2
+    assert sum(groups.values()) == 6
+
+
+def test_minhash_exact_verify_matches_python_jaccard(spark, docs):
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", k=5, num_hashes=64, bands=16, threshold=0.5, verify="exact")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    # exact duplicate and near-dup must be found; their exact Jaccard must match
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in got and got[(0, 2)] == pytest.approx(_py_jaccard(texts[0], texts[2]), abs=1e-9)
+    # unrelated docs must not pair
+    assert all(not (a in (4, 5) or b in (4, 5)) for a, b in got)
+
+
+def test_minhash_signature_estimate_close_to_exact(spark, docs):
+    est = D.minhash_dedup_pairs(docs, "doc_id", "text", k=5, num_hashes=64, bands=16, threshold=0.5, verify="signature")
+    got = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in est.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    # 64-hash estimate: stderr ~ sqrt(j(1-j)/64) ~ 0.05 -> allow 0.2
+    assert got[(0, 2)] == pytest.approx(_py_jaccard(texts[0], texts[2]), abs=0.2)
+
+
+def test_simhash_near_pairs(spark, docs):
+    sims = D.simhash(docs, "doc_id", "text")
+    by_id = {r["id"]: r["simhash"] for r in sims.collect()}
+    assert by_id[0] == by_id[1]  # identical text -> identical simhash
+    pairs = D.simhash_near_pairs(sims, max_hamming=12, chunks=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert (0, 2) in got  # one-word change stays within hamming 12
+    # verify hamming against python popcount
+    import collections
+
+    for (a, b), h in got.items():
+        assert bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1") == h
+    _ = collections
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert all(not (a in (4, 5) or b in (4, 5)) for a, b in got)
