@@ -49,7 +49,8 @@ def test_agg_is_partial_then_final(spark):
     p = plan(spark, "q1_pricing_summary")
     assert p.count("HashAggregate") >= 2  # partial + final
     assert "partial_sum" in p  # map-side combine before the exchange
-    assert p.count("Exchange") == 1  # exactly one shuffle
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1  # exactly one shuffle
 
 
 def test_fec_final_single_fact_scan(spark):
