@@ -3,15 +3,16 @@
 Dataflow per epoch (north rule, BASELINE.json):
 
   batch = WAL[epoch]
-    | salted two-phase LWW dedup on (repo, path) by max lsn
-    |   phase 1: groupBy(repo, path, salt)  max_by(row, lsn)   [hot keys
-    |            split across n_salts reducers -> no straggler]
-    |   phase 2: groupBy(repo, path)        max_by(row, lsn)
+    | LWW dedup on (repo, path) by max (lsn, commit):
+    |   skew-immune by ALGEBRA — max_by partial aggregation collapses a
+    |   hot key to one row per map partition before the shuffle, so no
+    |   reducer ever sees a hot key's raw event count (one shuffle);
+    |   optional n_salts>0 adds explicit two-phase salted groupBy for
+    |   the non-algebraic cases (operators/skew.py for the general kit)
     | content sha256 (vectorized pandas UDF) + lang normalization
     | Arrow/StructType schema reconcile vs the table (add/widen)
-    | bucket-level copy-on-write MERGE:
-    |   survivors = state[touched buckets] ANTI JOIN changed keys
-    |   new state = survivors UNION upserts (deletes simply absent)
+    | bucket-level copy-on-write MERGE, conditional LWW vs state
+    |   (tombstoned deletes -> out-of-order delivery converges)
     | atomic snapshot commit embedding the (epoch -> applied) manifest
     v
   per-partition lineage/metrics row(s)
@@ -21,11 +22,6 @@ manifest commit atomically (one rename). Re-delivered epochs are
 detected before any work and become no-ops; a crash between data-file
 write and snapshot rename leaves ignorable orphans and the replay
 re-applies cleanly (LWW dedup is idempotent on identical input).
-
-LWW dedup uses max_by over a (lsn, commit) struct — an algebraic
-aggregate, so Spark applies map-side partial aggregation on top of our
-explicit salting; both levels together bound any single reducer's work
-even when one (repo, path) dominates the batch.
 """
 
 from __future__ import annotations
@@ -63,26 +59,34 @@ class ApplyResult:
 def lww_dedup(
     batch: DataFrame,
     hot_keys: DataFrame | None = None,
-    n_salts: int = 16,
+    n_salts: int = 0,
 ) -> DataFrame:
     """Last-writer-wins image per (repo, path): max-by-(lsn, commit).
 
-    Two-phase salted aggregation (explicit skew handling): every key is
-    spread over ``n_salts`` partial groups first (salt derived from the
-    unique lsn — deterministic, replay-stable), then the <=n_salts
-    partials per key reduce in a second, tiny aggregation. A hot key
-    therefore never lands on a single reducer, with no histogram pass
-    needed. Passing ``hot_keys`` restricts salting to those keys
-    (saves the phase-1 fan-out when skew is known to be absent).
+    Skew stance: ``max_by`` is ALGEBRAIC, so Spark's partial (map-side)
+    aggregation already splits hot keys — every map partition collapses
+    a hot key's rows to one partial before the shuffle, so the final
+    reducer for that key receives at most n_map_partitions rows, never
+    the raw event count. One shuffle total, skew-immune by algebra.
+    (`tests/test_cdc.py::test_skew_handling_same_result` pins the
+    equivalence; operators/skew.py documents the general strategy.)
+
+    ``n_salts > 0`` switches to EXPLICIT two-phase salting — groupBy
+    (key, salt) then (key) — needed when the per-key reduction is not
+    algebraic (window/row_number style) or when feeding a downstream
+    key-partitioned op that must not see a hot partition. It costs a
+    second full shuffle, so it is not the default. ``hot_keys``
+    restricts the salt fan-out to known-hot keys.
 
     Reference analog: the prefer-principal / keep-first dedup
     (scripts/merge_support.py:150-180) generalized to a total LSN order.
     """
     ord_struct = F.struct(*[F.col(c) for c in ORDER_COLS])
     row_struct = F.struct(*[F.col(c) for c in batch.columns])
+    if n_salts <= 1:
+        return batch.groupBy(*KEYS).agg(F.max_by(row_struct, ord_struct).alias("r")).select("r.*")
     if hot_keys is None:
-        salt = F.pmod(F.xxhash64("lsn"), F.lit(n_salts)).cast("int")
-        salted = batch.withColumn("__salt", salt)
+        salted = batch.withColumn("__salt", F.pmod(F.xxhash64("lsn"), F.lit(n_salts)).cast("int"))
     else:
         hot = F.broadcast(hot_keys.select(*KEYS).withColumn("__hot", F.lit(1)))
         salted = batch.join(hot, on=KEYS, how="left").withColumn(
@@ -90,12 +94,11 @@ def lww_dedup(
             F.when(F.col("__hot").isNotNull(), F.pmod(F.xxhash64("lsn"), F.lit(n_salts))).otherwise(F.lit(0)).cast("int"),
         )
     phase1 = salted.groupBy(*KEYS, "__salt").agg(F.max_by(row_struct, ord_struct).alias("r"))
-    winners = (
+    return (
         phase1.groupBy(*KEYS)
         .agg(F.max_by(F.col("r"), F.struct(*[F.col(f"r.{c}") for c in ORDER_COLS])).alias("r"))
         .select("r.*")
     )
-    return winners
 
 
 def detect_hot_keys(batch: DataFrame, threshold: float = 0.02, sample_fraction: float | None = None, seed: int = 42) -> DataFrame:
@@ -132,12 +135,15 @@ def apply_epoch(
     table: LakeTable,
     batch: DataFrame,
     epoch: str,
-    n_salts: int = 16,
+    n_salts: int = 0,
     use_pandas_udf: bool = True,
-    skew_handling: bool = True,
     metrics_dir: str | None = None,
 ) -> ApplyResult:
-    """Apply one epoch of change events. Idempotent by manifest check."""
+    """Apply one epoch of change events. Idempotent by manifest check.
+
+    ``n_salts=0`` (default) relies on algebraic partial aggregation for
+    skew; ``n_salts>0`` adds explicit two-phase salting (see lww_dedup).
+    """
     epoch = str(epoch)
     if epoch in table.applied_epochs():
         return ApplyResult(epoch=epoch, skipped=True)
@@ -146,9 +152,7 @@ def apply_epoch(
     snap = table.current_snapshot()
     n_buckets = snap.n_buckets
 
-    # skew_handling=True -> uniform two-phase salting (no histogram pass);
-    # False -> single-phase groupBy (baseline for the skew A/B test)
-    winners = lww_dedup(batch, n_salts=n_salts if skew_handling else 1)
+    winners = lww_dedup(batch, n_salts=n_salts)
     winners = enrich_content(winners, use_pandas_udf=use_pandas_udf)
     winners = winners.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
     winners.persist()

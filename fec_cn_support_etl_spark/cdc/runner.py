@@ -75,9 +75,8 @@ def replay(
     wal_dir: str,
     table_dir: str,
     n_buckets: int = 64,
-    n_salts: int = 16,
+    n_salts: int = 0,
     use_pandas_udf: bool = True,
-    skew_handling: bool = True,
     metrics_dir: str | None = None,
     stop_after: int | None = None,
     log=print,
@@ -100,7 +99,6 @@ def replay(
             epoch=str(ep),
             n_salts=n_salts,
             use_pandas_udf=use_pandas_udf,
-            skew_handling=skew_handling,
             metrics_dir=metrics_dir,
         )
         if res.skipped:
@@ -127,10 +125,9 @@ def main(argv=None):
     p.add_argument("--table", required=True)
     p.add_argument("--metrics", default=None)
     p.add_argument("--n-buckets", type=int, default=64)
-    p.add_argument("--n-salts", type=int, default=16)
+    p.add_argument("--n-salts", type=int, default=0, help="explicit two-phase salting (0 = rely on algebraic partial agg)")
     p.add_argument("--master", default=None)
     p.add_argument("--native-sha", action="store_true", help="use JVM sha2 instead of the pandas UDF")
-    p.add_argument("--no-skew-handling", action="store_true")
     p.add_argument("--stop-after", type=int, default=None, help="apply at most N epochs (crash/resume testing)")
     p.add_argument("--warmup", action="store_true", help="run a small throwaway replay first (JVM/codegen warmup)")
     a = p.parse_args(argv)
@@ -150,7 +147,6 @@ def main(argv=None):
         n_buckets=a.n_buckets,
         n_salts=a.n_salts,
         use_pandas_udf=not a.native_sha,
-        skew_handling=not a.no_skew_handling,
         metrics_dir=a.metrics,
         stop_after=a.stop_after,
     )

@@ -32,7 +32,7 @@ def stream_cdc_ingest(
     table: LakeTable,
     checkpoint_dir: str,
     available_now: bool = True,
-    n_salts: int = 16,
+    n_salts: int = 0,
     use_pandas_udf: bool = True,
 ):
     """Tail the WAL dir as a stream; upsert each micro-batch. Returns

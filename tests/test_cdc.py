@@ -100,10 +100,11 @@ def test_resume_from_checkpoint(spark, wal, tmp_path):
 
 
 def test_skew_handling_same_result(spark, wal, tmp_path):
+    """Explicit two-phase salting == single-phase algebraic dedup."""
     a = str(tmp_path / "a")
     b = str(tmp_path / "b")
-    runner.replay(spark, wal, a, n_buckets=16, skew_handling=True)
-    runner.replay(spark, wal, b, n_buckets=16, skew_handling=False)
+    runner.replay(spark, wal, a, n_buckets=16, n_salts=16)
+    runner.replay(spark, wal, b, n_buckets=16, n_salts=0)
     assert state_digest(table_state(spark, a)) == state_digest(table_state(spark, b))
 
 
