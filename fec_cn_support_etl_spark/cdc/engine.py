@@ -130,6 +130,48 @@ def enrich_content(df: DataFrame, use_pandas_udf: bool = True) -> DataFrame:
     return df.withColumn("content_sha", F.when(F.col("content").isNotNull(), sha)).withColumn("lang", lang)
 
 
+@dataclass
+class PreparedEpoch:
+    """Output of the parallel phase: LWW winners, persisted + profiled."""
+
+    epoch: str
+    winners: DataFrame
+    stats: object
+    touched: list[int]
+    t_start: float
+
+
+def prepare_epoch(
+    spark: SparkSession,
+    table: LakeTable,
+    batch: DataFrame,
+    epoch: str,
+    n_salts: int = 0,
+    use_pandas_udf: bool = True,
+) -> PreparedEpoch | None:
+    """The embarrassingly-parallel half of an epoch apply: dedup +
+    enrich + persist + stats. Independent of table state, so the runner
+    pipelines it with the previous epoch's merge/commit. Returns None
+    when the manifest says the epoch is already applied."""
+    epoch = str(epoch)
+    if epoch in table.applied_epochs():
+        return None
+    t0 = time.time()
+    n_buckets = table.current_snapshot().n_buckets
+    winners = lww_dedup(batch, n_salts=n_salts)
+    winners = enrich_content(winners, use_pandas_udf=use_pandas_udf)
+    winners = winners.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
+    winners.persist()
+    stats = winners.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+        F.collect_set(BUCKET_COL).alias("buckets"),
+    ).collect()[0]
+    return PreparedEpoch(epoch=epoch, winners=winners, stats=stats, touched=sorted(stats["buckets"]), t_start=t0)
+
+
 def apply_epoch(
     spark: SparkSession,
     table: LakeTable,
@@ -144,27 +186,26 @@ def apply_epoch(
     ``n_salts=0`` (default) relies on algebraic partial aggregation for
     skew; ``n_salts>0`` adds explicit two-phase salting (see lww_dedup).
     """
-    epoch = str(epoch)
-    if epoch in table.applied_epochs():
-        return ApplyResult(epoch=epoch, skipped=True)
+    prep = prepare_epoch(spark, table, batch, epoch, n_salts=n_salts, use_pandas_udf=use_pandas_udf)
+    if prep is None:
+        return ApplyResult(epoch=str(epoch), skipped=True)
+    return commit_epoch(spark, table, prep, metrics_dir=metrics_dir)
 
-    t0 = time.time()
+
+def commit_epoch(
+    spark: SparkSession,
+    table: LakeTable,
+    prep: PreparedEpoch,
+    metrics_dir: str | None = None,
+) -> ApplyResult:
+    """The serialized half: conditional-LWW merge against table state +
+    atomic snapshot commit. Must run in epoch-commit order (the runner
+    guarantees it); correctness under reordering is still covered by
+    tombstoned conditional LWW."""
+    epoch, winners, stats, touched, t0 = prep.epoch, prep.winners, prep.stats, prep.touched, prep.t_start
     snap = table.current_snapshot()
     n_buckets = snap.n_buckets
-
-    winners = lww_dedup(batch, n_salts=n_salts)
-    winners = enrich_content(winners, use_pandas_udf=use_pandas_udf)
-    winners = winners.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
-    winners.persist()
     try:
-        stats = winners.agg(
-            F.count("*").alias("n_keys"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
-            F.min("lsn").alias("min_lsn"),
-            F.max("lsn").alias("max_lsn"),
-            F.collect_set(BUCKET_COL).alias("buckets"),
-        ).collect()[0]
-        touched = sorted(stats["buckets"])
         if not touched:
             # empty epoch still must be recorded (manifest completeness)
             empty = spark.createDataFrame([], table.schema(snap).add(BUCKET_COL, "int"))

@@ -79,37 +79,62 @@ def replay(
     use_pandas_udf: bool = True,
     metrics_dir: str | None = None,
     stop_after: int | None = None,
+    pipelined: bool = True,
     log=print,
 ) -> dict:
-    """Apply every pending epoch; returns summary incl. events/sec."""
+    """Apply every pending epoch; returns summary incl. events/sec.
+
+    ``pipelined=True`` overlaps epoch k+1's parallel phase (dedup +
+    enrich + persist, engine.prepare_epoch) with epoch k's serialized
+    merge/commit — Spark schedules both job sets concurrently, hiding
+    the commit tail behind the next epoch's compute. Commits still
+    happen strictly in epoch order.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .engine import commit_epoch, prepare_epoch
+
     table = open_or_create(spark, table_dir, n_buckets)
-    total_events = 0
     t0 = time.time()
+    total_events = 0
     applied = 0
-    for i, ep in enumerate(list_epochs(wal_dir)):
-        if stop_after is not None and applied >= stop_after:
-            break
+    epochs = list_epochs(wal_dir)
+    if stop_after is not None:
+        pending = [e for e in epochs if str(e) not in table.applied_epochs()][:stop_after]
+        epochs = [e for e in epochs if str(e) in table.applied_epochs()] + pending
+
+    def _prepare(ep):
         epoch_dir = os.path.join(wal_dir, f"epoch={ep}")
         batch = spark.read.parquet(epoch_dir)
         n = _parquet_rows(epoch_dir)  # footer metadata, no Spark job
-        res = apply_epoch(
-            spark,
-            table,
-            batch,
-            epoch=str(ep),
-            n_salts=n_salts,
-            use_pandas_udf=use_pandas_udf,
-            metrics_dir=metrics_dir,
-        )
-        if res.skipped:
+        prep = prepare_epoch(spark, table, batch, str(ep), n_salts=n_salts, use_pandas_udf=use_pandas_udf)
+        return ep, n, prep
+
+    def _finish(ep, n, prep):
+        nonlocal applied, total_events
+        if prep is None:
             log(f"epoch {ep}: already applied (manifest no-op)")
-            continue
+            return
+        res = commit_epoch(spark, table, prep, metrics_dir=metrics_dir)
         applied += 1
         total_events += n
         log(
             f"epoch {ep}: {n} events -> {res.n_upserts} upserts / {res.n_deletes} deletes, "
             f"{res.touched_buckets} buckets, {res.apply_sec:.2f}s, snapshot v{res.snapshot}"
         )
+
+    if pipelined and len(epochs) > 1:
+        with ThreadPoolExecutor(max_workers=1, thread_name_prefix="cdc-prepare") as pool:
+            fut = pool.submit(_prepare, epochs[0])
+            for nxt in epochs[1:]:
+                ep, n, prep = fut.result()
+                fut = pool.submit(_prepare, nxt)  # next epoch computes while we commit
+                _finish(ep, n, prep)
+            _finish(*fut.result())
+    else:
+        for ep in epochs:
+            _finish(*_prepare(ep))
+
     wall = time.time() - t0
     return {
         "epochs_applied": applied,
