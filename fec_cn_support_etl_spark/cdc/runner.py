@@ -43,16 +43,29 @@ TABLE_SCHEMA = T.StructType(
 )
 
 
-def _parquet_rows(path: str) -> int:
-    """Row count from parquet footers on the driver — saves one Spark
-    job per epoch (the count is for throughput accounting only)."""
+def _epoch_footer(path: str):
+    """(row count, spark schema) from parquet footers on the driver —
+    saves the count job AND the schema-inference job per epoch while
+    staying schema-evolution-safe (each epoch's own footer schema)."""
     import pyarrow.parquet as pq
 
     total = 0
-    for name in os.listdir(path):
+    arrow_schema = None
+    for name in sorted(os.listdir(path)):
         if name.endswith(".parquet"):
-            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
-    return total
+            f = pq.ParquetFile(os.path.join(path, name))
+            total += f.metadata.num_rows
+            if arrow_schema is None:
+                arrow_schema = f.schema_arrow
+    spark_schema = None
+    if arrow_schema is not None:
+        try:
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            spark_schema = from_arrow_schema(arrow_schema)
+        except Exception:
+            spark_schema = None  # fall back to Spark's own inference
+    return total, spark_schema
 
 
 def list_epochs(wal_dir: str) -> list[int]:
@@ -105,8 +118,9 @@ def replay(
 
     def _prepare(ep):
         epoch_dir = os.path.join(wal_dir, f"epoch={ep}")
-        batch = spark.read.parquet(epoch_dir)
-        n = _parquet_rows(epoch_dir)  # footer metadata, no Spark job
+        n, schema = _epoch_footer(epoch_dir)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        batch = reader.parquet(epoch_dir)
         prep = prepare_epoch(spark, table, batch, str(ep), n_salts=n_salts, use_pandas_udf=use_pandas_udf)
         return ep, n, prep
 

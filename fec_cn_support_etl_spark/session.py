@@ -58,6 +58,9 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # local mode: shuffle goes through driver disk; keep codegen on.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # v2 committer: task outputs move to the destination at task
+        # commit, skipping the serial driver-side job-commit rename pass
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     if enable_iceberg:
         warehouse = iceberg_warehouse or "/tmp/iceberg-warehouse"
