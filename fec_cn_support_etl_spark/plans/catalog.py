@@ -809,6 +809,52 @@ def stream_windowed_agg(spark, sf_dir):
 _STREAM_SINK_N = 0
 
 
+@_q(
+    "sessionize_gap_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def sessionize_gap_windows(spark, sf_dir):
+    """Session windows by 30-min inactivity gap (lag -> flag -> running
+    sid -> agg). The streaming twin (applyInPandasWithState) is tested
+    in tests/test_sessionize.py."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    g = ev.withColumn("__us", F.unix_micros(F.col("ts").cast("timestamp"))).withColumn(
+        "__new", F.when(F.col("__us") - F.lag("__us").over(w) > gap_us, 1).otherwise(0)
+    )
+    s = g.withColumn("__sid", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        s.groupBy("user_id", "__sid")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            F.count("*").alias("n_events"),
+            money(F.sum(dec("value"))).alias("total_value"),
+        )
+        .drop("__sid")
+    )
+
+
 # ----- rows-only checks (xxhash64 sketches have no ANSI-SQL twin) -----
 
 
