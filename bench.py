@@ -25,6 +25,8 @@ from fec_cn_support_etl_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "sessionize_gap_windows",
     "fec_final_support_analog",
     "broadcast_enrich_join",
     "conditional_pivot_agg",
