@@ -66,11 +66,17 @@ def committee_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mapped_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact joined to the broadcast committee->candidate lookup — the
-    reference's dict `.map` probe (scripts/individual_support.py:99)."""
+    """Fact joined to the committee->candidate lookup — the reference's
+    dict `.map` probe (scripts/individual_support.py:99).
+
+    No broadcast hint: the lookup is orders-derived here, so it scales
+    with the fact over this testdata (unlike the real FEC ccl, which is
+    a bounded dim). The size threshold broadcasts it at test scale; at
+    100 TB AQE picks a shuffle join instead of OOMing the build side.
+    Gated by test_no_forced_broadcast_on_fact_joins."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
     lookup = committee_lookup(spark, sf_dir).withColumnRenamed("cmte_id", "l_orderkey")
-    return li.join(F.broadcast(lookup), "l_orderkey", "left")
+    return li.join(lookup, "l_orderkey", "left")
 
 
 def support_by_candidate(

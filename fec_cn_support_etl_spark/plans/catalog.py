@@ -124,15 +124,18 @@ def filter_project_pushdown(spark, sf_dir):
     """,
 )
 def broadcast_enrich_join(spark, sf_dir):
-    """J1/J6: chained broadcast left joins, fact never shuffles."""
+    """J1/J6: chained enrichment left joins. No hints — the dims land
+    below the size threshold so Catalyst broadcasts them (fact never
+    shuffles at test scale); at 100x a too-big side degrades to a
+    shuffle join instead of OOMing."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .join(n, c.c_nationkey == n.n_nationkey, "left")
+        .join(r, n.n_regionkey == r.r_regionkey, "left")
         .select("o_orderkey", "c_name", "n_name", "r_name")
     )
 
@@ -182,7 +185,9 @@ def conditional_pivot_agg(spark, sf_dir):
     scripts/pac_support_corp_union.py:116-144)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # no hint: customer scales with sf; the threshold broadcasts it at
+    # test scale and AQE falls back to a shuffle join at 100x
+    joined = o.join(c, o.o_custkey == c.c_custkey)
     piv = conditional_sum_pivot(
         joined,
         keys=["c_mktsegment"],
@@ -506,14 +511,21 @@ def q6_forecast_revenue(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: selective dim filter -> broadcast join chain ->
-    agg -> top-k (orderkey tiebreak for determinism)."""
+    """TPC-H Q3 shape: selective filters -> join chain -> agg -> top-k
+    (orderkey tiebreak for determinism).
+
+    No broadcast hints: orders/customer scale with the fact, so the
+    join strategy is left to the size-based threshold + AQE — broadcast
+    at small sf, sort-merge/shuffled-hash at 100 TB (a hard-coded hint
+    here would OOM the build side at scale). Gated by
+    tests/test_plan_quality.py::test_no_forced_broadcast_on_fact_joins.
+    """
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -537,8 +549,14 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 shape: 6-table join with a local-supplier equi-condition;
-    all dims broadcast, the fact shuffles once for the aggregation."""
+    """TPC-H Q5 shape: 6-table join with a local-supplier equi-condition.
+
+    No broadcast hints: nation/region are true constant-size dims and
+    the size-based threshold broadcasts them on its own; orders/
+    customer/supplier scale with sf, so forcing them broadcast-side
+    would OOM at the 100 TB target — AQE picks the strategy per actual
+    size instead (gated by test_no_forced_broadcast_on_fact_joins).
+    The fact shuffles once for the aggregation."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -546,11 +564,11 @@ def q5_local_supplier_volume(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
-        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
-        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .join(r, r.r_regionkey == n.n_regionkey)
         .groupBy("n_name")
         .agg(money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue"))
     )

@@ -63,3 +63,43 @@ def test_fec_final_single_fact_scan(spark):
 def test_lww_no_python_in_plan(spark):
     p = plan(spark, "top1_per_group_lww")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# Queries whose every join side scales with the fact tables (orders /
+# customer / supplier / lineitem-derived). None may carry a broadcast
+# *hint*: the strategy must be size-driven so that at 100 TB Catalyst
+# degrades to sort-merge/shuffled-hash instead of OOMing a build side.
+FACT_SCALE_QUERIES = [
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "conditional_pivot_agg",
+    "broadcast_enrich_join",
+    "fec_individual_support_analog",
+    "fec_final_support_analog",
+]
+
+
+@pytest.mark.parametrize("name", FACT_SCALE_QUERIES)
+def test_no_forced_broadcast_on_fact_joins(spark, name):
+    """With the size threshold disabled, nothing may broadcast: a
+    BroadcastHashJoin surviving threshold=-1 can only come from a
+    hard-coded hint (hints override the threshold) — the exact failure
+    mode that OOMs a 1000-executor cluster when the 'lookup' side is
+    fact-scaled."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan(spark, name)
+        assert "BroadcastHashJoin" not in p, f"{name} forces a broadcast via hint"
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier_volume"])
+def test_size_based_broadcast_still_kicks_in(spark, name):
+    """Same queries under the default 64MB threshold at tiny sf: the
+    small sides get broadcast by SIZE (no shuffle of the dims) — the
+    hint removal trades nothing away at test scale."""
+    p = plan(spark, name)
+    assert "BroadcastHashJoin" in p
