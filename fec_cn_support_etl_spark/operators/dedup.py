@@ -81,7 +81,6 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
 
 def _band_table(signatures: DataFrame, bands: int) -> DataFrame:
     """(id, band, bh) — one hashed band row per (doc, band)."""
-    sig_len_hint = bands  # rows per doc after explode
     bands_col = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -89,7 +88,6 @@ def _band_table(signatures: DataFrame, bands: int) -> DataFrame:
             F.xxhash64(b, F.slice(F.col("sig"), b * (F.size("sig") / bands).cast("int") + 1, (F.size("sig") / bands).cast("int")).cast("string")).alias("bh"),
         ),
     )
-    _ = sig_len_hint
     return signatures.select("id", F.explode(bands_col).alias("b")).select("id", "b.band", "b.bh")
 
 
@@ -112,11 +110,21 @@ def minhash_lsh_pairs(
     )
 
 
-def jaccard_verify(pairs: DataFrame, shingles: DataFrame, threshold: float = 0.7) -> DataFrame:
+def jaccard_verify(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    threshold: float = 0.7,
+    threshold_frac: tuple[int, int] | None = None,
+) -> DataFrame:
     """Exact Jaccard on candidate pairs only.
 
     |A∩B| via shingle-equijoin restricted to candidate pairs;
     |A∪B| = |A|+|B|-|A∩B|. Returns (id_a, id_b, jaccard) ≥ threshold.
+
+    ``threshold_frac=(num, den)`` filters with the integer cross-
+    multiply ``inter*den >= union*num`` instead of the float compare —
+    boundary-exact, so an external SQL oracle reproduces the row set
+    bit-for-bit.
     """
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
     sa = shingles.withColumnRenamed("id", "id_a")
@@ -127,13 +135,17 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame, threshold: float = 0.7
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    out = inter.join(
+        sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a"
+    ).join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+    if threshold_frac is not None:
+        num, den = threshold_frac
+        out = out.filter(F.col("inter") * den >= union * num)
+    out = out.withColumn("jaccard", F.col("inter") / union)
+    if threshold_frac is None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out.select("id_a", "id_b", "jaccard")
 
 
 def signature_verify(pairs: DataFrame, signatures: DataFrame, threshold: float = 0.7) -> DataFrame:
@@ -180,16 +192,14 @@ def minhash_dedup_pairs(
 
 # -------------------------------------------------------------- simhash
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """(id, simhash: bigint) — token-hash SimHash, fully JVM-side.
+def simhash_from_hashes(toks: DataFrame, bits: int = 64) -> DataFrame:
+    """(id, simhash: bigint) from pre-hashed tokens (id, th: bigint).
 
-    Tokens -> xxhash64 -> per-bit +1/-1 vote summed per doc (bits
-    aggregate columns, one shuffle) -> sign bits packed into an int64.
+    Per-bit +1/-1 vote summed per doc (bits aggregate columns, one
+    shuffle) -> sign bits packed into an int64. Token choice is the
+    caller's: whitespace words (``simhash``) or char shingles
+    (``char_shingles`` -> near-dup detection aligned with MinHash).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
     votes = [
         F.sum(F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
@@ -203,13 +213,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return agg.select("id", packed.alias("simhash"))
 
 
-def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, chunks: int = 4) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash: bigint) — whitespace-token SimHash, fully JVM-side.
+    Tokens -> xxhash64 -> ``simhash_from_hashes``."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok")).select("id", "th")
+    return simhash_from_hashes(toks, bits)
 
-    Pigeonhole banding: split 64 bits into ``chunks`` 16-bit chunks; any
-    pair within max_hamming < chunks shares at least one exact chunk, so
-    self-join per chunk then verify with bit_count(xor).
-    """
+
+def simhash_candidates(sims: DataFrame, chunks: int = 4) -> DataFrame:
+    """Pigeonhole candidate pairs: split 64 bits into ``chunks`` equal
+    chunks; any pair with Hamming distance < chunks shares at least one
+    exact chunk, so self-join per chunk (uniform hash key — skew-free).
+    Returns (id_a, id_b, sa, sb) distinct candidates."""
     width = 64 // chunks
     mask = (1 << width) - 1
     chunk_rows = sims.select(
@@ -223,15 +241,30 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, chunks: int = 4) -
         ).alias("c"),
     ).select("id", "simhash", "c.chunk", "c.cv")
     a, b = chunk_rows.alias("a"), chunk_rows.alias("b")
-    cand = (
+    return (
         a.join(b, on=[F.col("a.chunk") == F.col("b.chunk"), F.col("a.cv") == F.col("b.cv"), F.col("a.id") < F.col("b.id")])
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"))
         .distinct()
     )
+
+
+def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming: pigeonhole
+    candidates verified with bit_count(xor)."""
+    cand = simhash_candidates(sims, chunks)
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sh) — distinct whitespace tokens per doc, pre-hashed to
+    int64 (token strings never cross a shuffle)."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).select(
+        "id", F.xxhash64("tok").alias("sh")
     )
 
 

@@ -4,11 +4,19 @@ Two paths, per the scale playbook:
 - brute_force_topk: exact cosine top-k of every query against the
   corpus. Dot products run JVM-side (zip_with + aggregate) inside
   codegen; queries are broadcast. Baseline / ground truth.
-- lsh_bucketed_topk: random-hyperplane LSH (deterministic planes from a
-  seeded numpy RandomState, applied as a vectorized pandas UDF doing
-  one matmul per Arrow batch). Probing only same-bucket corpus rows
-  cuts the candidate set ~2^bits-fold; multi-probe over Hamming-1
-  neighbors trades recall for cost.
+- lsh_bucketed_topk: random-hyperplane LSH. Two plane sources:
+  (a) ``int_planes`` — small-INTEGER-entry hyperplanes applied as a
+  pure Column expression (codegen, no Python). Integer entries make
+  every dot product exactly representable in IEEE double (float32
+  mantissa 24 bits + |entry| <= 4 + 64 terms < 53 bits), so the sum is
+  order-independent and an external SQL engine reproduces the buckets
+  bit-for-bit — this is what lets the driver oracle-check the LSH path.
+  (b) ``hyperplane_bucket_udf`` — gaussian planes via a vectorized
+  pandas UDF (one matmul per Arrow batch), kept for callers that want
+  un-quantized planes.
+  ``multiprobe=r`` additionally probes every bucket within Hamming
+  distance r of the query's bucket (r * bits extra buckets), trading
+  candidate-set size for recall at high ``bits``.
 
 At 100 TB the corpus side is partitioned; the broadcast-query pattern
 means NO shuffle of the corpus at all for brute force, and the LSH
@@ -84,6 +92,40 @@ def hyperplane_bucket_udf(dim: int, bits: int = 8, seed: int = 42):
     return bucket
 
 
+def int_planes(dim: int, bits: int, seed: int = 42, lo: int = -3, hi: int = 3):
+    """Deterministic hyperplanes with small integer entries (numpy list
+    of lists, one inner list of ``dim`` ints per bit). Integer entries
+    keep dot products FP-exact (see module docstring), so the same
+    literals embedded in an ANSI-SQL oracle yield identical buckets."""
+    rs = np.random.RandomState(seed)
+    return rs.randint(lo, hi + 1, size=(bits, dim)).tolist()
+
+
+def hyperplane_bucket_expr(vec, planes) -> "F.Column":
+    """Bucket id as a pure Column expression: bit b = (v . plane_b) > 0,
+    bucket = sum(bit_b << b). All JVM-side (zip_with/aggregate inside
+    codegen) — no Python, no shuffle."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    bucket = None
+    for b, plane in enumerate(planes):
+        lits = F.array(*[F.lit(float(p)) for p in plane])
+        dot = F.aggregate(F.zip_with(v, lits, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+        term = F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
+
+
+def _probe_masks(bits: int, radius: int) -> list[int]:
+    """All XOR masks of Hamming weight <= radius (radius 0 or 1 here;
+    higher radii compose combinatorially)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << b for b in range(bits)]
+    if radius >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(bits) for j in range(i + 1, bits)]
+    return masks
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -95,15 +137,35 @@ def lsh_bucketed_topk(
     k: int = 10,
     bits: int = 8,
     seed: int = 42,
+    planes=None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: compare only within matching
-    hyperplane-LSH buckets. Recall < 1; cost ~ 1/2^bits of brute force.
+    hyperplane-LSH buckets. Recall < 1; cost ~ (1+multiprobe*bits)/2^bits
+    of brute force.
+
+    ``planes`` (from ``int_planes``) switches bucketing to the exact
+    Column-expression path; default is the pandas-UDF gaussian path.
+    ``multiprobe=r`` probes all buckets within Hamming-r of the query
+    bucket — recovers recall lost to quantization at high ``bits``
+    without touching the corpus side (queries are the exploded side).
     """
-    bucket = hyperplane_bucket_udf(dim, bits, seed)
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn("bucket", bucket(F.col("v")))
+    if planes is not None:
+        bits = len(planes)
+        c_bucket = hyperplane_bucket_expr(F.col("v"), planes)
+        q_bucket = hyperplane_bucket_expr(F.col("qv"), planes)
+    else:
+        udf = hyperplane_bucket_udf(dim, bits, seed)
+        c_bucket, q_bucket = udf(F.col("v")), udf(F.col("qv"))
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn("bucket", c_bucket)
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")).withColumn(
-        "bucket", bucket(F.col("qv"))
+        "bucket", q_bucket
     )
+    if multiprobe > 0:
+        masks = _probe_masks(bits, multiprobe)
+        q = q.withColumn(
+            "bucket", F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]))
+        )
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id", "id", cosine_col(F.col("qv"), F.col("v")).alias("cosine")
     )

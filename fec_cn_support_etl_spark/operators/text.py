@@ -100,18 +100,39 @@ def _inv_code(lang: str) -> str:
     return "".join(chr(255 - ord(ch)) for ch in lang)
 
 
-def doc_fingerprints(df: DataFrame, id_col: str, text_col: str, k: int = 8, window: int = 4) -> DataFrame:
+def doc_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, window: int = 4, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """Winnowing fingerprints: k-char rolling shingle hashes, min per
     sliding window of ``window`` hashes, distinct mins kept.
 
     Output: (id, fingerprint) rows — the standard local fingerprinting
-    scheme for copy-detection, built from substr/transform/xxhash64.
+    scheme for copy-detection, built from substr/transform/<hash>.
+
+    ``hash_fn``: ``xxhash64`` (default; fastest, bigint fingerprints) or
+    ``md5`` (16-hex-char string fingerprints; fixed-width lowercase hex
+    compares lexicographically == numerically in every engine, so an
+    ANSI-SQL oracle reproduces the output exactly).
     """
+    from pyspark.sql import Window
+
     t = F.col(text_col)
+    if hash_fn == "md5":
+        h = lambda c: F.substring(F.md5(c), 1, 16)  # noqa: E731
+    else:
+        h = F.xxhash64
     offsets = F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(k - 1), F.lit(1)))
-    hashes = F.transform(offsets, lambda i: F.xxhash64(F.substr(t, i, F.lit(k))))
-    win_starts = F.sequence(F.lit(1), F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1)))
-    mins = F.array_distinct(
-        F.transform(win_starts, lambda s: F.array_min(F.slice(hashes, s, window)))
+    hashes = F.transform(offsets, lambda i: h(F.substr(t, i, F.lit(k))))
+    # posexplode BEFORE windowing so each gram is hashed exactly once;
+    # computing window mins over the array expression instead would
+    # re-inline (and re-hash) the whole array per window -> O(len*w).
+    ex = df.select(F.col(id_col).alias("id"), F.posexplode(hashes).alias("pos", "h"))
+    w_min = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    w_all = Window.partitionBy("id")
+    return (
+        ex.withColumn("__mh", F.min("h").over(w_min))
+        .withColumn("__n", F.count("*").over(w_all))
+        .filter(F.col("pos") <= F.greatest(F.col("__n") - window, F.lit(0)))
+        .select("id", F.col("__mh").alias("fingerprint"))
+        .distinct()
     )
-    return df.select(F.col(id_col).alias("id"), F.explode(mins).alias("fingerprint"))

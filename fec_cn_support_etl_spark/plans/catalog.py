@@ -9,9 +9,12 @@ Parity rules that make the order-insensitive value-hash stable:
 - every LIMIT/top-k is totally ordered via a unique tiebreak column;
 - timestamps are formatted to strings before leaving a query.
 
-Keys of QUERIES and ORACLE match; queries without a feasible ANSI-SQL
-oracle (xxhash64-based sketches) appear only in QUERIES -> the driver
-records a rows-only check, flagged in the docstring.
+Keys of QUERIES and ORACLE match — every query is oracle-backed. The
+sketch family (MinHash/SimHash/LSH-ANN/winnowing) achieves this by
+making the sketch an exact-output candidate generator: candidates are
+found by the bucketed scale path, then verified exactly (integer-
+threshold Jaccard / FP-exact integer hyperplanes / md5-hex window
+mins), so the emitted rows equal what a brute-force SQL twin computes.
 """
 
 from __future__ import annotations
@@ -24,13 +27,17 @@ from pyspark.sql import functions as F
 from ..functions.scalar import dec, money
 from ..operators.aggregates import conditional_sum_pivot, horizontal_total
 from ..operators.dedup import (
+    char_shingles,
     exact_dup_groups,
-    minhash_dedup_pairs,
-    simhash,
-    simhash_near_pairs,
+    jaccard_verify,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    signature_verify,
+    simhash_candidates,
+    simhash_from_hashes,
 )
 from ..operators.joins import semi_filter
-from ..operators.similarity import brute_force_topk, lsh_bucketed_topk
+from ..operators.similarity import brute_force_topk, int_planes, lsh_bucketed_topk
 from ..operators.text import doc_fingerprints, lang_id, quality_score, token_count, bpe_ish_token_estimate
 from ..operators.windows import lww_latest, top1_per_group, topk_per_group
 from ..sources.tpch import load_table
@@ -873,38 +880,148 @@ def sessionize_gap_windows(spark, sf_dir):
     )
 
 
-# ----- rows-only checks (xxhash64 sketches have no ANSI-SQL twin) -----
+# ----- sketch family: LSH/SimHash candidates + EXACT verify => the
+# output is the exact near-dup set, so an ANSI-SQL oracle reproduces it
+# bit-for-bit while the Spark plan keeps the bucketed scale path. -----
 
-
-@_q("minhash_neardup_pairs")
-def minhash_neardup_pairs_q(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (rows-only driver check; exactness is
-    covered by tests/test_dedup.py against a brute-force oracle)."""
-    d = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(
-        d, "doc_id", "text", k=5, num_hashes=32, bands=8, threshold=0.5,
-        n_partitions=spark.sparkContext.defaultParallelism,
+# Exact char-5-gram Jaccard >= 4/5, all pairs — the shared oracle for
+# both sketch queries (the sketches only change HOW candidates are
+# found, never the answer).
+_CHAR5_JACCARD_SQL = """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(length(text) - 4, 1) + 1),
+               i -> substr(text, i, 5)))) AS s
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE i * 5 >= (na.n + nb.n - i) * 4
+"""
 
 
-@_q("simhash_neardup_pairs")
+@_q("minhash_neardup_pairs", _CHAR5_JACCARD_SQL)
+def minhash_neardup_pairs_q(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact output: shingle -> 48-hash
+    signatures -> 16-band LSH candidates -> cheap signature-estimate
+    prune (joins only the 48-int sigs) -> exact Jaccard on the few
+    survivors, integer-threshold 4/5.
+
+    Recall: at the fixture's true-pair floor (j >= 0.83) a 16x3 band
+    miss is P = (1-j^3)^16 ~ 1e-6 per pair, so the LSH output IS the
+    exact >= 0.8 pair set; the oracle is the brute-force all-pairs
+    Jaccard. Scale path unchanged: candidates via uniform band-hash
+    join, exact verify touches candidates only."""
+    d = _t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "doc_id", "text", k=5)
+    sig = minhash_signatures(sh, num_hashes=48)
+    cand = minhash_lsh_pairs(sig, bands=16)
+    pruned = signature_verify(cand, sig, threshold=0.5).select("id_a", "id_b")
+    return jaccard_verify(pruned, sh, threshold_frac=(4, 5))
+
+
+@_q("simhash_neardup_pairs", _CHAR5_JACCARD_SQL)
 def simhash_neardup_pairs_q(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only; Hamming verify in tests)."""
-    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
-    return simhash_near_pairs(simhash(d, "doc_id", "text"), max_hamming=6, chunks=4)
+    """SimHash near-dup pairs, exact output: char-shingle SimHash ->
+    pigeonhole chunk candidates (8 chunks cover Hamming <= 7 with
+    certainty; measured true-pair Hamming <= 8 across sf0.001-0.1,
+    all captured) -> Hamming <= 16 prefilter (2x margin, cuts sf0.1
+    candidates ~30x) -> exact Jaccard 4/5 on survivors. Same oracle as
+    minhash: the sketch changes the plan, not the answer."""
+    d = _t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "doc_id", "text", k=5)
+    sims = simhash_from_hashes(sh.withColumnRenamed("sh", "th"))
+    cand = simhash_candidates(sims, chunks=8)
+    close = (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= 16)
+        .select("id_a", "id_b")
+    )
+    return jaccard_verify(close, sh, threshold_frac=(4, 5))
 
 
-@_q("ann_lsh_bucketed_topk")
+# Integer-entry hyperplanes: dot products are exactly representable in
+# IEEE double (see operators/similarity.py), so the DuckDB oracle below
+# computes bit-identical buckets from the same literals.
+_ANN_PLANES = int_planes(dim=64, bits=4, seed=42)
+
+
+def _plane_sql(plane) -> str:
+    return "[" + ", ".join(f"{float(p):.1f}" for p in plane) + "]::DOUBLE[]"
+
+
+_ANN_LSH_SQL = (
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+    """
+    + "      + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ({_plane_sql(p)})[i])) > 0 THEN {1 << b} ELSE 0 END)\n"
+        for b, p in enumerate(_ANN_PLANES)
+    )
+    + """
+        AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qb FROM b WHERE vec_id < 5),
+    s AS (
+      SELECT q.query_id, c.vec_id AS id,
+             list_cosine_similarity(q.qv, c.embedding) AS cos
+      FROM q JOIN b c
+        ON c.bucket IN (qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8))
+    )
+    SELECT query_id, id, rank FROM (
+      SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+      FROM s
+    ) WHERE rank <= 10
+"""
+)
+
+
+@_q("ann_lsh_bucketed_topk", _ANN_LSH_SQL)
 def ann_lsh_bucketed_topk_q(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN (rows-only; recall vs brute force is
-    asserted in tests/test_similarity.py)."""
+    """Hyperplane-LSH bucketed ANN with Hamming-1 multi-probe (probes
+    5 of 16 buckets). Integer-entry planes make the buckets FP-exact,
+    so the DuckDB oracle replays the identical candidate set; ranks are
+    the output (float-order-safe, id tiebreak). Recall vs brute force
+    additionally asserted in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return lsh_bucketed_topk(emb, q, "vec_id", "embedding", "vec_id", "embedding", dim=64, k=10, bits=4)
+    res = lsh_bucketed_topk(
+        emb, q, "vec_id", "embedding", "vec_id", "embedding",
+        dim=64, k=10, planes=_ANN_PLANES, multiprobe=1,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return res.withColumn("rank", F.row_number().over(w)).select("query_id", "id", "rank")
 
 
-@_q("doc_fingerprints")
+@_q(
+    "doc_fingerprints",
+    """
+    WITH g AS (
+      SELECT doc_id, list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+             i -> substr(md5(substr(text, i, 8)), 1, 16)) AS hs
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT DISTINCT doc_id, unnest(list_transform(
+             range(1, greatest(len(hs) - 3, 1) + 1),
+             s -> list_min(list_slice(hs, s, s + 3)))) AS fingerprint
+    FROM g
+    """,
+)
 def doc_fingerprints_q(spark, sf_dir):
-    """Winnowing rolling-hash fingerprints (rows-only; xxhash64-based)."""
+    """Winnowing rolling-hash fingerprints (md5-hex hash: fixed-width
+    lowercase hex min == numeric min in every engine, so the window-min
+    selection is engine-exact)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return doc_fingerprints(d, "doc_id", "text")
+    return doc_fingerprints(d, "doc_id", "text", hash_fn="md5").select(
+        F.col("id").alias("doc_id"), "fingerprint"
+    )

@@ -61,6 +61,56 @@ def test_lsh_bucketed_recall(spark, emb, emb_np):
     assert sum(recalls) / len(recalls) >= 0.2  # 2-bit buckets ~ 1/4 of corpus probed
 
 
+def _lsh_recalls(spark, emb, emb_np, n_q=10, **kw):
+    ids, mat = emb_np
+    queries = emb.filter(F.col("vec_id") < n_q)
+    res = S.lsh_bucketed_topk(emb, queries, "vec_id", "embedding", "vec_id", "embedding", dim=64, k=10, **kw)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["id"])
+    return [len(got.get(q, set()) & set(_np_topk(ids, mat, q, 10))) / 10 for q in range(n_q)]
+
+
+def test_multiprobe_recovers_recall_at_high_bits(spark, emb, emb_np):
+    """At bits=6 (64 buckets over 500 vectors) single-probe recall is
+    low — most true neighbors sit in another bucket. Hamming-1
+    multi-probe (7 of 64 buckets) must recover a measurable chunk.
+    Per-query recall is provably monotone in the candidate set (a new
+    candidate can only evict a lower-cosine one, which cannot be in the
+    true top-k if the evictee is), so r1 >= r0 pointwise is asserted
+    too. Measured on this fixture: 0.11 -> 0.24."""
+    planes = S.int_planes(dim=64, bits=6, seed=7)
+    r0 = _lsh_recalls(spark, emb, emb_np, planes=planes, multiprobe=0)
+    r1 = _lsh_recalls(spark, emb, emb_np, planes=planes, multiprobe=1)
+    assert all(b >= a for a, b in zip(r0, r1))
+    m0, m1 = sum(r0) / len(r0), sum(r1) / len(r1)
+    assert m0 < 0.2, f"single-probe unexpectedly strong ({m0}) — raise bits"
+    assert m1 >= m0 + 0.08, f"multi-probe gained too little ({m0} -> {m1})"
+    assert m1 >= 0.2
+
+
+def test_int_planes_bucket_expr_matches_python(spark, emb):
+    """The Column-expression bucketing must equal a plain-python dot
+    product bucket computation (FP-exactness of integer planes)."""
+    planes = S.int_planes(dim=64, bits=6, seed=3)
+    rows = emb.limit(100).select("vec_id", "embedding").collect()
+    got = {
+        r["vec_id"]: r["b"]
+        for r in emb.limit(100)
+        .select("vec_id", S.hyperplane_bucket_expr(F.col("embedding"), planes).alias("b"))
+        .collect()
+    }
+    import math
+
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        b = sum(
+            (1 << i) if math.fsum(x * p for x, p in zip(v, plane)) > 0 else 0
+            for i, plane in enumerate(planes)
+        )
+        assert got[r["vec_id"]] == b
+
+
 def test_embedding_neardup_finds_duplicated_vectors(spark, emb):
     dup = emb.filter(F.col("vec_id") < 3).withColumn("vec_id", F.col("vec_id") + 100000)
     with_dups = emb.unionByName(dup)
