@@ -177,6 +177,16 @@ def collapse_support(df: DataFrame, keys, sum_cols) -> DataFrame:
     return df.na.fill({c: 0.0 for c in sum_cols}).groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])
 
 
+def _has_usable_year(df: DataFrame) -> bool:
+    """reference merge_support.py:238-242: a support input participates
+    in the composite-key merge only if it carries at least one non-null
+    CAND_ELECTION_YR (schema tolerance for year-less intermediates).
+    take(1) is an early-exit scan of a small aggregated table."""
+    if "CAND_ELECTION_YR" not in df.columns:
+        return False
+    return len(df.filter(F.col("CAND_ELECTION_YR").isNotNull()).take(1)) > 0
+
+
 def merge_support(
     cn: DataFrame,
     indiv: DataFrame,
@@ -186,17 +196,31 @@ def merge_support(
     target_year: str,
 ) -> DataFrame:
     """merge_support.py:86-317 as one plan: spine LEFT JOIN the three
-    support tables on (CAND_ID, CAND_ELECTION_YR), fill, total, flag,
-    sort."""
+    support tables, fill, total, flag, sort.
+
+    Merge-key selection mirrors merge_support.py:238-260: join on
+    (CAND_ID, CAND_ELECTION_YR) only when EVERY support input has a
+    usable year column; if any lacks one, fall back to a CAND_ID-only
+    merge (dropping the year from the support side) instead of silently
+    producing an empty join."""
     spine = candidate_spine(cn, offices, target_year)
-    keys = ["CAND_ID", "CAND_ELECTION_YR"]
-    indiv_c = collapse_support(indiv.select(*keys, "INDIVIDUAL_SUPPORT"), keys, ["INDIVIDUAL_SUPPORT"])
+    use_year = all(_has_usable_year(d) for d in (superpac, indiv, pac))
+    keys = ["CAND_ID", "CAND_ELECTION_YR"] if use_year else ["CAND_ID"]
+
+    def _prep(df: DataFrame) -> DataFrame:
+        # fallback path: reference drops the year column from the
+        # support side before the CAND_ID-only merge (:257-259)
+        if not use_year and "CAND_ELECTION_YR" in df.columns:
+            return df.drop("CAND_ELECTION_YR")
+        return df
+
+    indiv_c = collapse_support(_prep(indiv).select(*keys, "INDIVIDUAL_SUPPORT"), keys, ["INDIVIDUAL_SUPPORT"])
     pac_c = collapse_support(
-        pac.select(*keys, "CORP_PAC_SUPPORT", "NONCONNECTED_PAC_SUPPORT"),
+        _prep(pac).select(*keys, "CORP_PAC_SUPPORT", "NONCONNECTED_PAC_SUPPORT"),
         keys,
         ["CORP_PAC_SUPPORT", "NONCONNECTED_PAC_SUPPORT"],
     )
-    superpac_c = collapse_support(superpac.select(*keys, "SUPERPAC_IE_SUPPORT"), keys, ["SUPERPAC_IE_SUPPORT"])
+    superpac_c = collapse_support(_prep(superpac).select(*keys, "SUPERPAC_IE_SUPPORT"), keys, ["SUPERPAC_IE_SUPPORT"])
     merged = (
         spine.join(indiv_c, keys, "left").join(pac_c, keys, "left").join(superpac_c, keys, "left")
     ).na.fill({c: 0.0 for c in SUPPORT_COLS})

@@ -86,8 +86,100 @@ def check_distribution_shape(df: DataFrame, min_ratio: float = 1.5) -> tuple[boo
     return ratio > min_ratio, ratio
 
 
+def check_intermediate_containment(final: DataFrame, intermediates: dict[str, DataFrame]) -> tuple[bool, dict]:
+    """Check 9 (validate_outputs.py:390-408): every CAND_ID appearing
+    in an intermediate support table must appear in the funded final
+    table (intermediates only hold candidates with money)."""
+    fin = final.select("CAND_ID").distinct()
+    details = {}
+    for name, df in intermediates.items():
+        details[name] = df.select("CAND_ID").distinct().join(fin, "CAND_ID", "left_anti").count()
+    return all(v == 0 for v in details.values()), details
+
+
+def stats_summary(df: DataFrame) -> dict:
+    """Summary statistics (validate_outputs.py:411-439): candidate
+    count, total/mean/median/max support, per-category dollar share.
+    One aggregate job, no per-row collect."""
+    aggs = [
+        F.count("*").alias("candidates"),
+        F.sum("TOTAL_SUPPORT").alias("total"),
+        F.avg("TOTAL_SUPPORT").alias("mean"),
+        F.percentile_approx("TOTAL_SUPPORT", 0.5).alias("median"),
+        F.max("TOTAL_SUPPORT").alias("max"),
+    ] + [F.sum(c).alias(f"sum_{c}") for c in SUPPORT_COLS]
+    row = df.agg(*aggs).collect()[0].asDict()
+    total = row["total"] or 0.0
+    row["breakdown_pct"] = {
+        c: (100.0 * (row[f"sum_{c}"] or 0.0) / total) if total > 0 else 0.0 for c in SUPPORT_COLS
+    }
+    return row
+
+
+def spot_check_top_candidates(df: DataFrame, k: int = 5) -> list[dict]:
+    """Check 10 (validate_outputs.py:442-461): top-k candidates by
+    TOTAL_SUPPORT for manual verification (deterministic tiebreak)."""
+    cols = ["CAND_ID", "CAND_NAME", "CAND_OFFICE", "CAND_OFFICE_ST", "TOTAL_SUPPORT"]
+    rows = df.orderBy(F.desc("TOTAL_SUPPORT"), F.asc("CAND_ID")).limit(k).select(*cols).collect()
+    return [r.asDict() for r in rows]
+
+
+def check_golden_envelope(
+    total: DataFrame,
+    senate: DataFrame,
+    presidential: DataFrame,
+    envelope: dict,
+) -> tuple[bool, list[str]]:
+    """The verify_data.py envelope runner (:40-180) with the hard-coded
+    2016/2020 ranges lifted into a parameter:
+
+    envelope = {
+      "total_money": (lo, hi), "candidates": (lo, hi),            # test 1
+      "indiv_pct": (lo, hi), "superpac_pct": (lo, hi),            # test 2
+      "pres_money_pct": (lo, hi),                                 # test 3
+      "known": [(cand_id, lo, hi), ...],                          # test 4
+    }
+    Any key may be omitted. Returns (ok, [violation messages])."""
+    problems: list[str] = []
+    s = stats_summary(total)
+    money, n = s["total"] or 0.0, s["candidates"]
+
+    def rng(key, value, label):
+        if key in envelope:
+            lo, hi = envelope[key]
+            if not (lo < value < hi):
+                problems.append(f"{label} {value:,.2f} outside ({lo:,}, {hi:,})")
+
+    rng("total_money", money, "total money")
+    rng("candidates", n, "candidate count")
+    if money > 0:
+        rng("indiv_pct", s["breakdown_pct"]["INDIVIDUAL_SUPPORT"], "individual %")
+        rng("superpac_pct", s["breakdown_pct"]["SUPERPAC_IE_SUPPORT"], "superpac %")
+        pres_money = presidential.agg(F.sum("TOTAL_SUPPORT")).collect()[0][0] or 0.0
+        rng("pres_money_pct", 100.0 * pres_money / money, "presidential %")
+    if envelope.get("known"):
+        known = {
+            r["CAND_ID"]: r["t"]
+            for r in total.groupBy("CAND_ID").agg(F.sum("TOTAL_SUPPORT").alias("t")).join(
+                total.sparkSession.createDataFrame(
+                    [(c,) for c, _, _ in envelope["known"]], ["CAND_ID"]
+                ),
+                "CAND_ID",
+                "left_semi",
+            ).collect()
+        }
+        for cand_id, lo, hi in envelope["known"]:
+            if cand_id not in known:
+                problems.append(f"known candidate {cand_id} missing from output")
+            elif not (lo < known[cand_id] < hi):
+                problems.append(f"{cand_id}: {known[cand_id]:,.2f} outside ({lo:,}, {hi:,})")
+    return not problems, problems
+
+
 def run_all_checks(outputs: dict[str, DataFrame], offices, year: str) -> dict[str, tuple]:
-    """Mirror of validate_outputs.main over one office group's outputs."""
+    """Mirror of validate_outputs.main over one office group's outputs
+    (checks 1-7, 9, 10; check 8 = office additivity needs the three
+    office groups — ``check_office_additivity``)."""
     allf = outputs["candidates_all_with_flag"]
     return {
         "key_uniqueness": check_key_uniqueness(allf),
@@ -98,4 +190,14 @@ def run_all_checks(outputs: dict[str, DataFrame], offices, year: str) -> dict[st
         "partition_completeness": check_partition_completeness(
             outputs["final_support_table"], outputs["candidates_no_support"], allf
         ),
+        "intermediate_containment": check_intermediate_containment(
+            outputs["final_support_table"],
+            {
+                k: outputs[k]
+                for k in ("individual_support", "superpac_ie_support", "pac_support_corp_nonconnected")
+                if k in outputs
+            },
+        ),
+        "stats_summary": (True, stats_summary(allf)),
+        "top_candidates": (True, spot_check_top_candidates(outputs["final_support_table"])),
     }

@@ -103,6 +103,44 @@ def test_malformed_line_dropped(inputs):
     assert inputs.itcont.filter(F.col("CMTE_ID") == "X").count() == 0
 
 
+def test_merge_key_fallback_year_less_input(inputs, outputs):
+    """J8 (reference merge_support.py:238-260): when a support input
+    has no usable CAND_ELECTION_YR, the merge falls back to CAND_ID-
+    only instead of silently joining nothing. On this fixture the spine
+    has one row per CAND_ID, so the fallback must reproduce the normal
+    composite-key result exactly — which the year-join would NOT (a
+    null year matches no spine row -> zeros)."""
+    indiv = P.individual_support(inputs, ("S", "P"), YEAR)
+    pac = P.pac_support(inputs, ("S", "P"), YEAR)
+    superpac = P.superpac_ie_support(inputs, ("S", "P"), YEAR)
+    indiv_yearless = indiv.withColumn("CAND_ELECTION_YR", F.lit(None).cast("string"))
+    final = P.merge_support(inputs.cn, indiv_yearless, pac, superpac, ("S", "P"), YEAR)
+
+    cols = ["CAND_ID", *P.SUPPORT_COLS, "TOTAL_SUPPORT", "HAS_MONEY"]
+    got = final.select(*cols).toPandas().sort_values("CAND_ID").reset_index(drop=True)
+    want = (
+        outputs["candidates_all_with_flag"].select(*cols).toPandas().sort_values("CAND_ID").reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # and the year-less input really did contribute (not all zeros —
+    # the composite-key join would have produced 0.0 everywhere)
+    assert got["INDIVIDUAL_SUPPORT"].sum() > 0
+    assert got["INDIVIDUAL_SUPPORT"].sum() == pytest.approx(want["INDIVIDUAL_SUPPORT"].sum())
+
+
+def test_merge_key_fallback_missing_year_column(inputs, outputs):
+    """Same fallback when the column is absent entirely (the reference's
+    'errors=ignore' drop path, merge_support.py:257-259)."""
+    indiv = P.individual_support(inputs, ("S", "P"), YEAR).drop("CAND_ELECTION_YR")
+    pac = P.pac_support(inputs, ("S", "P"), YEAR)
+    superpac = P.superpac_ie_support(inputs, ("S", "P"), YEAR)
+    final = P.merge_support(inputs.cn, indiv, pac, superpac, ("S", "P"), YEAR)
+    got = as_map(final, "CAND_ID", "INDIVIDUAL_SUPPORT")
+    want = as_map(outputs["candidates_all_with_flag"], "CAND_ID", "INDIVIDUAL_SUPPORT")
+    assert got == pytest.approx(want)
+    assert sum(got.values()) > 0
+
+
 def test_sort_order(outputs):
     rows = outputs["final_support_table"].collect()
     # NULL state sorts last (pandas na_position='last' parity)

@@ -10,7 +10,7 @@ from fec_cn_support_etl_spark.plans import validate as V
 from fec_cn_support_etl_spark.sources import fec as fec_src
 from fec_cn_support_etl_spark.sources.csv_union import combine_csvs, office_type_report
 
-from fec_fixture import YEAR, write_fixture
+from fec_fixture import EXPECTED, YEAR, write_fixture
 
 
 @pytest.fixture(scope="module")
@@ -58,6 +58,65 @@ def test_validate_checks_pass_on_pipeline(spark, tmp_path_factory):
         groups["total"]["candidates_all_with_flag"],
     )
     assert ok, detail
+
+
+def test_golden_envelope_pass_and_fail(spark, tmp_path_factory):
+    """verify_data.py:40-180 envelope runner, fixture-parameterized:
+    the pipeline result sits inside a sane envelope; a deliberately
+    impossible envelope reports every violation."""
+    root = tmp_path_factory.mktemp("fecenv")
+    write_fixture(root)
+    inp = P.FecInputs(
+        cn=fec_src.read_fec_dir(spark, root / "cn", "cn"),
+        cm=fec_src.read_fec_dir(spark, root / "cm", "cm"),
+        ccl=fec_src.read_fec_dir(spark, root / "ccl", "ccl"),
+        itcont=fec_src.read_fec_dir(spark, root / "itcont", "itcont"),
+        itpas2=fec_src.read_fec_dir(spark, root / "itpas2", "itpas2"),
+    )
+    groups = P.run_all_offices(inp, YEAR)
+    tot = groups["total"]["candidates_all_with_flag"]
+    sen = groups["senate"]["candidates_all_with_flag"]
+    pres = groups["presidential"]["candidates_all_with_flag"]
+    s = V.stats_summary(tot)
+    good = {
+        "total_money": (s["total"] * 0.5, s["total"] * 2.0),
+        "candidates": (1, s["candidates"] + 1),
+        "indiv_pct": (0, 100),
+        "superpac_pct": (0, 100),
+        "pres_money_pct": (0, 100),
+        "known": [(cid, 0.0, 1e12) for cid in list(EXPECTED["individual"])[:2]],
+    }
+    ok, problems = V.check_golden_envelope(tot, sen, pres, good)
+    assert ok, problems
+    bad = {
+        "total_money": (s["total"] * 10, s["total"] * 20),
+        "candidates": (s["candidates"] + 5, s["candidates"] + 9),
+        "known": [("ZZNOPE0000", 1.0, 2.0)],
+    }
+    ok, problems = V.check_golden_envelope(tot, sen, pres, bad)
+    assert not ok and len(problems) == 3, problems
+
+
+def test_intermediate_containment_catches_stray_id(spark, tmp_path_factory):
+    """Check 9 (validate_outputs.py:390-408): a support intermediate
+    with a CAND_ID absent from the funded final table is flagged."""
+    root = tmp_path_factory.mktemp("feccontain")
+    write_fixture(root)
+    inp = P.FecInputs(
+        cn=fec_src.read_fec_dir(spark, root / "cn", "cn"),
+        cm=fec_src.read_fec_dir(spark, root / "cm", "cm"),
+        ccl=fec_src.read_fec_dir(spark, root / "ccl", "ccl"),
+        itcont=fec_src.read_fec_dir(spark, root / "itcont", "itcont"),
+        itpas2=fec_src.read_fec_dir(spark, root / "itpas2", "itpas2"),
+    )
+    out = P.run_pipeline(inp, ("S", "P"), YEAR)
+    ok, details = V.check_intermediate_containment(
+        out["final_support_table"], {"indiv": out["individual_support"]}
+    )
+    assert ok and details == {"indiv": 0}
+    stray = out["individual_support"].withColumn("CAND_ID", F.concat(F.lit("X"), F.col("CAND_ID")))
+    ok, details = V.check_intermediate_containment(out["final_support_table"], {"indiv": stray})
+    assert not ok and details["indiv"] > 0
 
 
 def test_validate_checks_catch_corruption(spark, tmp_path_factory):
