@@ -55,7 +55,7 @@ def run_replay(wal: str, table: str, cores: int) -> dict:
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
     )
     last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return eval(last)  # runner prints a python dict literal
+    return json.loads(last)  # runner prints one json.dumps line
 
 
 def wait_for_quiet_host(max_wait_sec: int = 600, steal_pct_max: float = 3.0) -> float:

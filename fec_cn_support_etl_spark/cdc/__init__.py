@@ -9,7 +9,7 @@ lang, content) are applied to a copy-on-write lake table:
 
 The lake layer is ``table.LakeTable`` — an Iceberg-shaped local format
 (bucketed parquet data files + JSON snapshot manifests with atomic
-rename commits) because the Iceberg runtime jar is not available in
+compare-and-swap commits (os.link; racing writers get CommitConflict)) because the Iceberg runtime jar is not available in
 this sandbox. ``engine.iceberg_merge_sql`` emits the equivalent
 MERGE INTO for a real Iceberg catalog (see session.get_spark
 enable_iceberg).

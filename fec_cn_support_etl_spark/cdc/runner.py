@@ -17,6 +17,7 @@ every already-applied epoch and continues from the first missing one.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import re
 import sys
@@ -189,7 +190,7 @@ def main(argv=None):
         metrics_dir=a.metrics,
         stop_after=a.stop_after,
     )
-    print(summary)
+    print(json.dumps(summary))  # machine-readable: bench parses with json.loads
     return 0
 
 

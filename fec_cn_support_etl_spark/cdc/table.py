@@ -44,6 +44,14 @@ BUCKET_COL = "__bucket"
 DELETED_COL = "_deleted"
 
 
+class CommitConflict(Exception):
+    """Another writer already published this snapshot version. The
+    caller must re-read the current snapshot (its epoch may have been
+    applied by the winner — check ``applied_epochs`` first) and retry
+    the merge against the new state, mirroring Iceberg's optimistic-
+    concurrency commit protocol."""
+
+
 def bucket_expr(keys: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
@@ -107,11 +115,21 @@ class LakeTable:
         return Snapshot(**d)
 
     def _write_snapshot(self, snap: Snapshot) -> None:
-        tmp = os.path.join(self._snap_dir, f".v{snap.version}.json.tmp")
+        """Atomic compare-and-swap publish: ``os.link`` fails with
+        EEXIST if v{N} was already published (unlike ``os.rename``,
+        which silently clobbers), so two writers racing from the same
+        base snapshot cannot both win — the loser gets CommitConflict
+        and must re-read + retry (Iceberg's commit semantics)."""
+        tmp = os.path.join(self._snap_dir, f".v{snap.version}.json.tmp.{os.getpid()}")
         final = os.path.join(self._snap_dir, f"v{snap.version}.json")
         with open(tmp, "w") as fh:
             json.dump(snap.__dict__, fh, indent=1)
-        os.rename(tmp, final)  # atomic commit point
+        try:
+            os.link(tmp, final)  # atomic commit point; EEXIST on race
+        except FileExistsError as e:
+            raise CommitConflict(f"snapshot v{snap.version} already published") from e
+        finally:
+            os.unlink(tmp)
 
     def schema(self, snap: Snapshot | None = None) -> T.StructType:
         snap = snap or self.current_snapshot()
@@ -237,6 +255,50 @@ class LakeTable:
             .repartition(max(1, len(touched)), F.col(BUCKET_COL))
         )
         return self.commit_merge(kept, touched, epoch=f"purge-{snap.version}-{below_lsn}")
+
+    def rebucket(self, n_buckets: int) -> Snapshot:
+        """Bucket-count evolution: rewrite the whole table into
+        ``n_buckets`` hash buckets in ONE copy-on-write commit and
+        record the new count in the snapshot (subsequent merges bucket
+        against it automatically — engine reads n_buckets per epoch).
+
+        At 100x growth the per-bucket rewrite unit outgrows the target
+        file size and every merge rewrites huge files; splitting 64 ->
+        256 restores O(touched_keys/B) write amplification. Run it like
+        a compaction (maintenance window); state digest is invariant
+        (test-pinned) and tombstones are carried."""
+        snap = self.current_snapshot()
+        if n_buckets == snap.n_buckets:
+            return snap
+        full = self.read(snap, include_deleted=True)
+        version = snap.version + 1
+        out_dir = os.path.join(self._data_dir, f"v{version}")
+        (
+            full.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, n_buckets))
+            .repartition(max(1, min(n_buckets, self.spark.sparkContext.defaultParallelism)), BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        buckets = {}
+        for b in range(n_buckets):
+            bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+            if os.path.isdir(bdir):
+                buckets[str(b)] = [{"path": bdir, "schema_id": snap.current_schema_id}]
+        applied = dict(snap.applied)
+        applied[f"rebucket-{snap.version}-{n_buckets}"] = {"snapshot": version, "ts": time.time()}
+        new_snap = Snapshot(
+            version=version,
+            schema_json=dict(snap.schema_json),
+            current_schema_id=snap.current_schema_id,
+            buckets=buckets,
+            applied=applied,
+            key_cols=snap.key_cols,
+            n_buckets=n_buckets,
+            props=snap.props,
+        )
+        self._write_snapshot(new_snap)
+        return new_snap
 
     def vacuum(self, keep_last: int = 1) -> int:
         """Delete data dirs not referenced by the ``keep_last`` newest

@@ -192,22 +192,37 @@ def minhash_dedup_pairs(
 
 # -------------------------------------------------------------- simhash
 
+_SIMHASH_LANE = 21  # bit-count sums per lane; 3 lanes fit a signed int64
+
+
 def simhash_from_hashes(toks: DataFrame, bits: int = 64) -> DataFrame:
     """(id, simhash: bigint) from pre-hashed tokens (id, th: bigint).
 
-    Per-bit +1/-1 vote summed per doc (bits aggregate columns, one
-    shuffle) -> sign bits packed into an int64. Token choice is the
-    caller's: whitespace words (``simhash``) or char shingles
-    (``char_shingles`` -> near-dup detection aligned with MinHash).
+    Majority vote per bit: bit i is set iff more than half the tokens
+    have it set (2*S_i > n, identical to the classic +1/-1 vote sum).
+    The shuffle carries PACKED partial sums — three 21-bit lanes per
+    aggregate column (ceil(bits/3)+1 longs per doc instead of ``bits``)
+    — cutting agg/shuffle width ~3x. Lane capacity bounds tokens at
+    2^21-1 (~2M) per document, far above any real document.
+
+    Token choice is the caller's: whitespace words (``simhash``) or
+    char shingles (``char_shingles`` -> aligned with MinHash).
     """
-    votes = [
-        F.sum(F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = toks.groupBy("id").agg(*votes)
+    per_col = 3
+    packed_cols = []
+    for c in range(0, bits, per_col):
+        expr = None
+        for lane, i in enumerate(range(c, min(c + per_col, bits))):
+            bit = F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, lane * _SIMHASH_LANE)
+            expr = term if expr is None else expr + term
+        packed_cols.append(F.sum(expr).alias(f"p{c // per_col}"))
+    agg = toks.groupBy("id").agg(F.count("*").alias("__n"), *packed_cols)
+    mask = (1 << _SIMHASH_LANE) - 1
     packed = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        s_i = F.shiftright(F.col(f"p{i // per_col}"), (i % per_col) * _SIMHASH_LANE).bitwiseAND(F.lit(mask))
+        bit = F.when(s_i * 2 > F.col("__n"), F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         packed = term if packed is None else packed.bitwiseXOR(term)
     return agg.select("id", packed.alias("simhash"))

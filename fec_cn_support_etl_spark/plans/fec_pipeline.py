@@ -130,9 +130,17 @@ def pac_support(inp: FecInputs, offices, target_year: str) -> DataFrame:
     cm = inp.cm.withColumn("CMTE_TP", F.coalesce("CMTE_TP", F.lit(""))).withColumn(
         "ORG_TP", F.coalesce("ORG_TP", F.lit(""))
     )
-    pac_dim = cm.filter(F.col("CMTE_TP").isin("Q", "N")).select("CMTE_ID", "ORG_TP").groupBy("CMTE_ID").agg(
-        F.first("ORG_TP").alias("ORG_TP")
-    )
+    # reference builds org_type from the FULL cm with last-row-wins
+    # (set_index().to_dict(), pac_support_corp_union.py:59) and keeps
+    # the Q/N filter only for PAC membership (:58); F.first after a
+    # shuffle would be nondeterministic, so take top-1 by file order DESC
+    org_map = top1_per_group(
+        with_row_order(cm.filter(F.col("CMTE_ID").isNotNull())),
+        keys=["CMTE_ID"],
+        order=[F.desc("__file_order")],
+    ).select("CMTE_ID", "ORG_TP")
+    pac_ids = cm.filter(F.col("CMTE_TP").isin("Q", "N")).select("CMTE_ID").distinct()
+    pac_dim = pac_ids.join(org_map, "CMTE_ID", "left")
     fact = inp.itpas2.filter(~F.col("TRANSACTION_TP").isin("24E", "24A"))
     valid = (
         fact.join(F.broadcast(pac_dim), "CMTE_ID", "inner")  # semi + ORG_TP payload in one join

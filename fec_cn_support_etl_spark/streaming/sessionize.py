@@ -73,6 +73,18 @@ def make_session_fn(gap_us: int):
                 elif us - cur[1] > gap_us:
                     out.append(_emit(cur).assign(user_id=user_id))
                     cur = [us, us, 0, 0.0]
+                elif cur[0] - us > gap_us:
+                    # cross-batch VERY-late event, beyond the gap before
+                    # the open session's start: it cannot merge with
+                    # sessions already emitted, so emit it as its own
+                    # session (documented approximation vs the batch
+                    # twin, which might have merged it with an earlier
+                    # neighbor). In-gap late events below are exact.
+                    out.append(_emit((us, us, 1, float(value))).assign(user_id=user_id))
+                    continue
+                # extend BOTH bounds: a late in-gap event must move
+                # session_start back, matching the batch twin
+                cur[0] = min(cur[0], us)
                 cur[1] = max(cur[1], us)
                 cur[2] += 1
                 cur[3] += float(value)
@@ -91,16 +103,20 @@ def sessionize_stream(
     gap: str = "30 minutes",
     watermark: str = "1 hour",
     sink_table: str = "sessions",
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming sessionization; returns closed sessions (memory sink,
     availableNow). Open sessions at end-of-stream stay in state — the
     batch twin's trailing session per user is the difference, asserted
-    in tests."""
+    in tests. ``max_files_per_trigger=1`` forces one input file per
+    micro-batch (cross-batch out-of-order testing)."""
     import os
 
     gap_us = _interval_ms(gap) * 1000
     schema = spark.read.parquet(events_path).schema
     reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if os.path.isfile(events_path):
         reader = reader.option("pathGlobFilter", os.path.basename(events_path))
         events_path = os.path.dirname(events_path)

@@ -204,6 +204,51 @@ def test_purge_tombstones_and_vacuum(spark, wal, tmp_path):
     assert len(os.listdir(os.path.join(table_dir, "snapshots"))) == 1
 
 
+def test_rebucket_preserves_state_and_future_merges(spark, wal, tmp_path):
+    """Bucket-count evolution: rebucket(256) after a partial replay
+    leaves the state digest invariant, records the new count, and
+    subsequent epochs merge against the NEW bucketing correctly."""
+    table_dir = str(tmp_path / "lake_rb")
+    runner.replay(spark, wal, table_dir, n_buckets=8, stop_after=2, log=lambda *_: None)
+    t = LakeTable(spark, table_dir)
+    before = state_digest(table_state(spark, table_dir))
+    snap = t.rebucket(32)
+    assert snap.n_buckets == 32 and len(snap.buckets) <= 32
+    assert state_digest(table_state(spark, table_dir)) == before
+    # remaining epochs apply on the 32-bucket layout; final state must
+    # still match the independent pandas replayer
+    runner.replay(spark, wal, table_dir, n_buckets=8, log=lambda *_: None)
+    got = table_state(spark, table_dir)
+    want = pandas_oracle(wal, list(range(EPOCHS)))
+    assert state_digest(got) == state_digest(want)
+    assert LakeTable(spark, table_dir).current_snapshot().n_buckets == 32
+
+
+def test_commit_conflict_on_racing_publish(spark, wal, tmp_path):
+    """CAS publish: a writer that read snapshot N cannot clobber a
+    v{N+1} another writer already published — it gets CommitConflict
+    and the winner's snapshot stays intact."""
+    from fec_cn_support_etl_spark.cdc.table import CommitConflict, Snapshot
+
+    table_dir = str(tmp_path / "lake_cas")
+    runner.replay(spark, wal, table_dir, n_buckets=8, stop_after=1, log=lambda *_: None)
+    t = LakeTable(spark, table_dir)
+    snap = t.current_snapshot()  # the already-published v1
+    loser = Snapshot(
+        version=snap.version,
+        schema_json=snap.schema_json,
+        current_schema_id=snap.current_schema_id,
+        buckets={},  # would wipe the table if it won
+        applied={},
+        key_cols=snap.key_cols,
+        n_buckets=snap.n_buckets,
+    )
+    with pytest.raises(CommitConflict):
+        t._write_snapshot(loser)
+    after = t.current_snapshot()
+    assert after.buckets == snap.buckets and after.applied == snap.applied
+
+
 def test_metrics_lineage(spark, wal, tmp_path):
     from fec_cn_support_etl_spark.cdc.metrics import read_metrics
 
