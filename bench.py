@@ -25,7 +25,9 @@ from fec_cn_support_etl_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "sessionize_gap_windows",
     "fec_final_support_analog",
     "broadcast_enrich_join",
@@ -35,9 +37,12 @@ HEADLINE = [
     "dedup_exact_groups",
     "minhash_neardup_pairs",
     "simhash_neardup_pairs",
+    "doc_fingerprints",
     "text_quality_score",
     "text_lang_id",
     "ann_cosine_topk",
+    "ann_lsh_bucketed_topk",
+    "ann_ivf_topk",
 ]
 
 CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_CDC_EVENTS", "400000"))

@@ -172,6 +172,78 @@ def lsh_bucketed_topk(
     return topk_per_group(scored, ["query_id"], [F.desc("cosine"), F.asc("id")], k)
 
 
+def int_centroids(dim: int, k: int, seed: int = 11, lo: int = -2, hi: int = 2):
+    """Deterministic IVF centroids with small integer entries (list of
+    k lists). Integer entries keep (x - c) exactly representable, so
+    the squared-distance fold is reproducible term-for-term by an
+    ANSI-SQL oracle evaluating the same literals in the same order.
+    A production deployment would train these with sampled k-means;
+    seeded integer centroids keep the partitioning deterministic and
+    engine-portable, which is what the correctness gate needs."""
+    rs = np.random.RandomState(seed)
+    return rs.randint(lo, hi + 1, size=(k, dim)).tolist()
+
+
+def _centroid_dists(vec, centroids):
+    """List of (squared-distance, centroid-id) struct Columns, one per
+    centroid — sequential left-to-right fold like the SQL twin."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    out = []
+    for i, c in enumerate(centroids):
+        lits = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, lits, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, t: acc + t
+        )
+        out.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return out
+
+
+def ivf_cell_expr(vec, centroids):
+    """Nearest-centroid cell id (argmin squared distance, lowest id on
+    ties) as a pure Column expression."""
+    return F.least(*_centroid_dists(vec, centroids))["i"]
+
+
+def ivf_probe_cells_expr(vec, centroids, nprobe: int):
+    """The ``nprobe`` nearest centroid ids, ascending by distance
+    (struct array_sort: lexicographic on (d, i))."""
+    arr = F.array(*_centroid_dists(vec, centroids))
+    return F.transform(F.slice(F.array_sort(arr), 1, nprobe), lambda s: s["i"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    centroids,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest-centroid
+    cell; each query scans only its ``nprobe`` nearest cells.
+
+    Scale shape: the corpus is assigned once (pure expression, no
+    shuffle — or pre-materialized partitioned BY cell for repeated
+    query batches); queries are the small exploded side (x nprobe) and
+    broadcast, so the corpus never shuffles. Cost ~ nprobe/k_cells of
+    brute force; recall grows monotonically with nprobe (nprobe =
+    n_centroids is exact brute force).
+    """
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "cell", ivf_cell_expr(F.col("v"), centroids)
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")).withColumn(
+        "cell", F.explode(ivf_probe_cells_expr(F.col("qv"), centroids, nprobe))
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id", "id", cosine_col(F.col("qv"), F.col("v")).alias("cosine")
+    )
+    return topk_per_group(scored, ["query_id"], [F.desc("cosine"), F.asc("id")], k)
+
+
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, bits: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold, restricted
     to same-LSH-bucket candidates (near-dups almost surely collide)."""

@@ -37,7 +37,7 @@ from ..operators.dedup import (
     simhash_from_hashes,
 )
 from ..operators.joins import semi_filter
-from ..operators.similarity import brute_force_topk, int_planes, lsh_bucketed_topk
+from ..operators.similarity import brute_force_topk, int_centroids, int_planes, ivf_topk, lsh_bucketed_topk
 from ..operators.text import doc_fingerprints, lang_id, quality_score, token_count, bpe_ish_token_estimate
 from ..operators.windows import lww_latest, top1_per_group, topk_per_group
 from ..sources.tpch import load_table
@@ -998,6 +998,67 @@ def ann_lsh_bucketed_topk_q(spark, sf_dir):
     res = lsh_bucketed_topk(
         emb, q, "vec_id", "embedding", "vec_id", "embedding",
         dim=64, k=10, planes=_ANN_PLANES, multiprobe=1,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return res.withColumn("rank", F.row_number().over(w)).select("query_id", "id", "rank")
+
+
+# IVF centroids: small-integer entries -> (x - c)^2 folds identically
+# in both engines (see operators/similarity.py::int_centroids).
+_IVF_CENTROIDS = int_centroids(dim=64, k=8, seed=11)
+_IVF_NPROBE = 2
+
+
+def _ivf_dist_sql(c) -> str:
+    lit = _plane_sql(c)
+    return (
+        "list_sum(list_transform(range(1, 65), "
+        f"i -> (CAST(embedding[i] AS DOUBLE) - ({lit})[i]) * (CAST(embedding[i] AS DOUBLE) - ({lit})[i])))"
+    )
+
+
+_ANN_IVF_SQL = (
+    """
+    WITH d AS (
+      SELECT vec_id, embedding, ["""
+    + ",\n        ".join(_ivf_dist_sql(c) for c in _IVF_CENTROIDS)
+    + f"""] AS dl
+      FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id, embedding,
+             list_position(dl, list_min(dl)) - 1 AS cell,
+             list_transform(list_slice(list_sort(list_transform(range(0, {len(_IVF_CENTROIDS)}),
+                 j -> {{'d': dl[j+1], 'i': j}})), 1, {_IVF_NPROBE}), s -> s.i) AS probes
+      FROM d
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, probes FROM a WHERE vec_id < 5),
+    s AS (
+      SELECT q.query_id, c.vec_id AS id,
+             list_cosine_similarity(q.qv, c.embedding) AS cos
+      FROM q JOIN a c ON list_contains(q.probes, c.cell)
+    )
+    SELECT query_id, id, rank FROM (
+      SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+      FROM s
+    ) WHERE rank <= 10
+"""
+)
+
+
+@_q("ann_ivf_topk", _ANN_IVF_SQL)
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF ANN: corpus partitioned into 8 nearest-centroid cells (one
+    pure-expression assignment, corpus never shuffles), queries probe
+    their 2 nearest cells. Integer centroids make the cell assignment
+    engine-exact, so the DuckDB oracle replays the identical candidate
+    set; ranks are the output. Recall/monotonicity additionally
+    asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    res = ivf_topk(
+        emb, q, "vec_id", "embedding", "vec_id", "embedding",
+        centroids=_IVF_CENTROIDS, k=10, nprobe=_IVF_NPROBE,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return res.withColumn("rank", F.row_number().over(w)).select("query_id", "id", "rank")

@@ -51,3 +51,39 @@ def combine_csvs(spark: SparkSession, input_dir: str, recursive: bool = True, di
 
 def office_type_report(df: DataFrame) -> DataFrame:
     return df.groupBy("office_type").count().orderBy("office_type")
+
+
+def combine_by_type(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    mode: str = "distributed",
+) -> dict[str, str]:
+    """The office-partitioned union CLI (reference combine_csv.py:
+    85-132): for each {senate, presidential, total} subdirectory, union
+    its CSVs with lineage columns, DISTINCT, and write ONE
+    ``combined_{office}_ALL.csv`` through the no-blank-line sink.
+    Missing subdirectories are skipped (reference WARNs). Returns
+    office -> written path."""
+    import glob as _glob
+    import os
+
+    from .csv_sink import write_csv_no_blank_line
+
+    written: dict[str, str] = {}
+    for office in ("senate", "presidential", "total"):
+        sub = os.path.join(input_dir, office)
+        if not os.path.isdir(sub) or not _glob.glob(os.path.join(sub, "*.csv")):
+            continue
+        df = (
+            combine_csvs(spark, sub, recursive=False, distinct=False)
+            # parity with the reference output columns: original cols +
+            # source_file + cycle + office_type (no source_path), and
+            # office_type is the subdir name, not path-inferred
+            .drop("source_path")
+            .withColumn("office_type", F.lit(office))
+            .distinct()
+        )
+        out = os.path.join(output_dir, f"combined_{office}_ALL.csv")
+        written[office] = write_csv_no_blank_line(df, out, mode=mode)
+    return written

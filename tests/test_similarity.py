@@ -111,6 +111,29 @@ def test_int_planes_bucket_expr_matches_python(spark, emb):
         assert got[r["vec_id"]] == b
 
 
+def test_ivf_topk_recall_and_exhaustive_probe(spark, emb, emb_np):
+    """IVF: recall is pointwise monotone in nprobe, and probing every
+    cell (nprobe = n_centroids) IS brute force — recall exactly 1."""
+    cents = S.int_centroids(64, 8, seed=11)
+    ids, mat = emb_np
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def run(nprobe):
+        res = S.ivf_topk(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            centroids=cents, k=10, nprobe=nprobe,
+        )
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r["id"])
+        return [len(got.get(q, set()) & set(_np_topk(ids, mat, q, 10))) / 10 for q in range(10)]
+
+    r2, r8 = run(2), run(8)
+    assert all(b >= a for a, b in zip(r2, r8))
+    assert sum(r8) == 10.0  # exhaustive probe == exact
+    assert sum(r2) / 10 >= 0.15  # 2 of 8 cells probed
+
+
 def test_embedding_neardup_finds_duplicated_vectors(spark, emb):
     dup = emb.filter(F.col("vec_id") < 3).withColumn("vec_id", F.col("vec_id") + 100000)
     with_dups = emb.unionByName(dup)

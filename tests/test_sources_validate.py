@@ -39,6 +39,31 @@ def test_combine_csvs_lineage_and_distinct(spark, csv_tree):
     assert report == {"senate": 4, "presidential": 4}
 
 
+def test_combine_by_type_partitioned_outputs(spark, tmp_path):
+    """Office-partitioned union (reference combine_csv.py:85-132): one
+    combined_{office}_ALL.csv per subdirectory, deduped, lineage'd,
+    through the no-blank-line sink; missing subdir skipped."""
+    from fec_cn_support_etl_spark.sources.csv_union import combine_by_type
+
+    for office, n in (("senate", 2), ("presidential", 1)):
+        d = tmp_path / "in" / office
+        d.mkdir(parents=True)
+        for i in range(n):
+            with open(d / f"{office}_final_support_table_1{i} .csv".replace(" ", ""), "w") as fh:
+                fh.write("CAND_ID,TOTAL_SUPPORT\nA1,100.0\nA2,50.0\nA2,50.0\n")
+    written = combine_by_type(spark, str(tmp_path / "in"), str(tmp_path / "out"))
+    assert set(written) == {"senate", "presidential"}  # total subdir absent -> skipped
+    sen = spark.read.options(header=True).csv(written["senate"])
+    rows = sen.collect()
+    # 2 files x 2 distinct rows (in-file dup removed; cross-file rows
+    # differ by source_file so both survive — reference parity)
+    assert len(rows) == 4
+    assert set(sen.columns) == {"CAND_ID", "TOTAL_SUPPORT", "source_file", "cycle", "office_type"}
+    assert {r["office_type"] for r in rows} == {"senate"}
+    with open(written["presidential"], "rb") as fh:
+        assert not fh.read().endswith(b"\n")
+
+
 def test_validate_checks_pass_on_pipeline(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("fecval")
     write_fixture(root)
