@@ -52,6 +52,30 @@ def semi_filter(fact: DataFrame, keys_df: DataFrame, key: str | Sequence[str], n
     return fact.join(keys_df.select(*keys).distinct(), on=keys, how=how)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> str:
+    """Materialize ``df`` as a hash-bucketed (optionally sorted)
+    managed table.
+
+    Scale rationale: two tables bucketed identically on their join key
+    equi-join WITHOUT an Exchange (and with sortBy, without a Sort) —
+    at 100 TB this removes the dominant shuffle from every repeated
+    fact-to-fact join or agg on the key. The one-time bucketed write
+    pays for itself after the first reuse; tests assert the
+    exchange-free plan (test_plan_quality.py::test_bucketed_join_avoids_shuffle).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *list(keys))
+    if sort_cols:
+        w = w.sortBy(*list(sort_cols))
+    w.saveAsTable(table_name)
+    return table_name
+
+
 def key_universe(dfs: Sequence[DataFrame], key_cols: Sequence[str]) -> DataFrame:
     """Distinct union of key columns across frames (the row spine)."""
     out = dfs[0].select(*key_cols)

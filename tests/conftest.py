@@ -12,13 +12,18 @@ SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("spark-warehouse"))
     s = get_spark(
         app_name="tests",
         master="local[4]",
         shuffle_partitions=4,
         driver_memory="8g",
-        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "16m",
+            # bucketed-table tests saveAsTable into a temp warehouse
+            "spark.sql.warehouse.dir": wh,
+        },
     )
     yield s
     s.stop()

@@ -5,6 +5,7 @@ broadcast, aggregates partial+final inside whole-stage codegen."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from fec_cn_support_etl_spark.plans import catalog
 
@@ -94,6 +95,42 @@ def test_no_forced_broadcast_on_fact_joins(spark, name):
         assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Co-located join: both sides written bucketed+sorted on the join
+    key -> the equi-join plan has NO Exchange (and no extra Sort) even
+    with broadcast disabled. This is the 100TB pattern for repeated
+    fact-to-fact joins."""
+    import contextlib
+    import io
+
+    from fec_cn_support_etl_spark.operators.joins import write_bucketed
+    from fec_cn_support_etl_spark.sources.tpch import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    write_bucketed(li, "li_bkt", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(o, "o_bkt", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("li_bkt").join(spark.table("o_bkt"), "l_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, "bucketed join must not shuffle"
+        # same-key aggregation is exchange-free too (partial==final)
+        buf2 = io.StringIO()
+        with contextlib.redirect_stdout(buf2):
+            spark.table("li_bkt").groupBy("l_orderkey").count().explain("formatted")
+        assert "Exchange" not in buf2.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS o_bkt")
 
 
 @pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier_volume"])
