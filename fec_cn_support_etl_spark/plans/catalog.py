@@ -1003,6 +1003,39 @@ def ann_lsh_bucketed_topk_q(spark, sf_dir):
     return res.withColumn("rank", F.row_number().over(w)).select("query_id", "id", "rank")
 
 
+@_q(
+    "salted_skew_agg",
+    """
+    SELECT event_type,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_skew_agg(spark, sf_dir):
+    """Explicit two-phase salted aggregation (operators/skew.py — the
+    CDC engine's hot-key strategy surfaced as a standalone operator):
+    detect hot keys by sampled histogram, spread them over 8 salts,
+    partial-agg per (key, salt), merge per key. Exact-decimal partials
+    are associative, so the result is bit-identical to the plain
+    GROUP BY the oracle runs. Use when a single key dominates and the
+    downstream op isn't an AQE-splittable join (aggs/MERGE paths)."""
+    from ..operators.skew import SALT_COL, detect_hot_keys, salted_repartition
+
+    ev = _t(spark, sf_dir, "events")
+    hot = detect_hot_keys(ev, ["event_type"], threshold=0.05)
+    salted = salted_repartition(
+        ev, ["event_type"], spark.sparkContext.defaultParallelism,
+        hot_keys=hot, n_salts=8, unique_col="event_id",
+    )
+    partial = salted.groupBy("event_type", SALT_COL).agg(
+        F.sum(dec("value")).alias("pv"), F.count("*").alias("pn")
+    )
+    return partial.groupBy("event_type").agg(
+        money(F.sum("pv")).alias("total_value"), F.sum("pn").alias("n")
+    )
+
+
 # IVF centroids: small-integer entries -> (x - c)^2 folds identically
 # in both engines (see operators/similarity.py::int_centroids).
 _IVF_CENTROIDS = int_centroids(dim=64, k=8, seed=11)
