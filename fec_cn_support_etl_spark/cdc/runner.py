@@ -94,6 +94,7 @@ def replay(
     metrics_dir: str | None = None,
     stop_after: int | None = None,
     pipelined: bool = True,
+    vacuum_every: int | None = None,
     log=print,
 ) -> dict:
     """Apply every pending epoch; returns summary incl. events/sec.
@@ -103,6 +104,11 @@ def replay(
     merge/commit — Spark schedules both job sets concurrently, hiding
     the commit tail behind the next epoch's compute. Commits still
     happen strictly in epoch order.
+
+    ``vacuum_every=N`` runs table maintenance (vacuum keeping the
+    latest snapshot) after every N applied epochs — bounds superseded
+    snapshot/data accumulation on long replays; time-travel reads of
+    vacuumed versions stop working, by design.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -137,6 +143,9 @@ def replay(
             f"epoch {ep}: {n} events -> {res.n_upserts} upserts / {res.n_deletes} deletes, "
             f"{res.touched_buckets} buckets, {res.apply_sec:.2f}s, snapshot v{res.snapshot}"
         )
+        if vacuum_every and applied % vacuum_every == 0:
+            removed = table.vacuum(keep_last=1)
+            log(f"vacuum after epoch {ep}: {removed} superseded data dirs removed")
 
     if pipelined and len(epochs) > 1:
         with ThreadPoolExecutor(max_workers=1, thread_name_prefix="cdc-prepare") as pool:
@@ -170,6 +179,7 @@ def main(argv=None):
     p.add_argument("--native-sha", action="store_true", help="use JVM sha2 instead of the pandas UDF")
     p.add_argument("--stop-after", type=int, default=None, help="apply at most N epochs (crash/resume testing)")
     p.add_argument("--warmup", action="store_true", help="run a small throwaway replay first (JVM/codegen warmup)")
+    p.add_argument("--vacuum-every", type=int, default=None, help="vacuum superseded snapshots every N applied epochs")
     a = p.parse_args(argv)
     spark = get_spark(app_name="cdc-replay", master=a.master)
     if a.warmup:
@@ -189,6 +199,7 @@ def main(argv=None):
         use_pandas_udf=not a.native_sha,
         metrics_dir=a.metrics,
         stop_after=a.stop_after,
+        vacuum_every=a.vacuum_every,
     )
     print(json.dumps(summary))  # machine-readable: bench parses with json.loads
     return 0

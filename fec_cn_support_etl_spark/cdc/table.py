@@ -131,6 +131,18 @@ class LakeTable:
         finally:
             os.unlink(tmp)
 
+    def snapshot_at(self, version: int) -> Snapshot:
+        """Load a specific snapshot version (time travel — Iceberg's
+        VERSION AS OF). Raises FileNotFoundError if vacuumed away."""
+        p = os.path.join(self._snap_dir, f"v{version}.json")
+        with open(p) as fh:
+            return Snapshot(**json.load(fh))
+
+    def read_version(self, version: int, include_deleted: bool = False) -> DataFrame:
+        """Time-travel read: the table exactly as of snapshot
+        ``version`` (works until ``vacuum`` reclaims its files)."""
+        return self.read(self.snapshot_at(version), include_deleted=include_deleted)
+
     def schema(self, snap: Snapshot | None = None) -> T.StructType:
         snap = snap or self.current_snapshot()
         return T.StructType.fromJson(json.loads(snap.schema_json[snap.current_schema_id]))

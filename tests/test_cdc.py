@@ -224,6 +224,37 @@ def test_rebucket_preserves_state_and_future_merges(spark, wal, tmp_path):
     assert LakeTable(spark, table_dir).current_snapshot().n_buckets == 32
 
 
+def test_time_travel_read_version(spark, wal, tmp_path):
+    """Iceberg VERSION AS OF parity: after further commits, reading an
+    older snapshot returns exactly the state as of that snapshot."""
+    table_dir = str(tmp_path / "lake_tt")
+    runner.replay(spark, wal, table_dir, n_buckets=8, stop_after=2, log=lambda *_: None)
+    t = LakeTable(spark, table_dir)
+    v2 = t.current_snapshot().version
+    digest_v2 = state_digest(table_state(spark, table_dir))
+    runner.replay(spark, wal, table_dir, n_buckets=8, log=lambda *_: None)
+    assert t.current_snapshot().version > v2
+    cols = ["repo", "path", "commit", "lang", "content_sha", "lsn"]
+    old = t.read_version(v2).select(*cols).toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert state_digest(old) == digest_v2
+    # and the current state moved on
+    assert state_digest(table_state(spark, table_dir)) != digest_v2
+
+
+def test_scheduled_vacuum_keeps_state(spark, wal, tmp_path):
+    """--vacuum-every maintenance: superseded data dirs get reclaimed
+    mid-replay and the final state still matches the pandas oracle."""
+    import os
+
+    table_dir = str(tmp_path / "lake_vac")
+    runner.replay(spark, wal, table_dir, n_buckets=8, vacuum_every=2, log=lambda *_: None)
+    got = table_state(spark, table_dir)
+    want = pandas_oracle(wal, list(range(EPOCHS)))
+    assert state_digest(got) == state_digest(want)
+    snaps = [f for f in os.listdir(os.path.join(table_dir, "snapshots")) if f.endswith(".json")]
+    assert len(snaps) == 1  # only the latest survives
+
+
 def test_commit_conflict_on_racing_publish(spark, wal, tmp_path):
     """CAS publish: a writer that read snapshot N cannot clobber a
     v{N+1} another writer already published — it gets CommitConflict
