@@ -61,6 +61,13 @@ def cdc_bench(spark, events: int, epochs: int) -> dict:
 
     work = tempfile.mkdtemp(prefix="cdc-bench-")
     try:
+        # warm the CDC codegen/JIT path on a throwaway table first —
+        # the first epoch otherwise pays ~5-7s of whole-stage-codegen
+        # compilation that has nothing to do with throughput
+        warm_wal = os.path.join(work, "warm_wal")
+        ev.write_wal(ev.gen_change_events(spark, 50_000, n_repos=50, n_paths=100, epochs=1, seed=1), warm_wal)
+        runner.replay(spark, warm_wal, os.path.join(work, "warm_lake"), n_buckets=64, log=lambda *_: None)
+
         wal = os.path.join(work, "wal")
         ev.write_wal(
             ev.gen_change_events(spark, events, n_repos=200, n_paths=500, epochs=epochs, evolve_from_epoch=None, seed=42),
