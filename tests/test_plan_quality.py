@@ -73,6 +73,8 @@ def test_lww_no_python_in_plan(spark):
 FACT_SCALE_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q12_shipmode_priority",
+    "q18_large_volume_customer",
     "conditional_pivot_agg",
     "broadcast_enrich_join",
     "fec_individual_support_analog",
