@@ -99,6 +99,28 @@ def test_no_forced_broadcast_on_fact_joins(spark, name):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "minhash_neardup_pairs",
+        "simhash_neardup_pairs",
+        "doc_fingerprints",
+        "ann_ivf_topk",
+        "ann_lsh_bucketed_topk",
+        "text_quality_score",
+        "text_lang_id",
+        "salted_skew_agg",
+    ],
+)
+def test_sketch_and_text_plans_stay_jvm_side(spark, name):
+    """The entire sketch/text family must run inside codegen — no
+    row-at-a-time or Arrow Python evaluation anywhere in the plan
+    (the int-plane/centroid rewrites made even the ANN bucketing pure
+    Column expressions)."""
+    p = plan(spark, name)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_bucketed_join_avoids_shuffle(spark):
     """Co-located join: both sides written bucketed+sorted on the join
     key -> the equi-join plan has NO Exchange (and no extra Sort) even
