@@ -199,73 +199,32 @@ def commit_epoch(
     metrics_dir: str | None = None,
 ) -> ApplyResult:
     """The serialized half: conditional-LWW merge against table state +
-    atomic snapshot commit. Must run in epoch-commit order (the runner
-    guarantees it); correctness under reordering is still covered by
-    tombstoned conditional LWW."""
+    atomic snapshot commit. The runner keeps epoch-commit order in one
+    process; against OTHER writers this is an optimistic-concurrency
+    loop — the merge is derived from a base snapshot and published with
+    base.version+1, so a foreign commit in between raises
+    CommitConflict and the merge re-derives from the fresh snapshot
+    (correctness under reordering is still covered by tombstoned
+    conditional LWW)."""
+    from .table import CommitConflict
+
     epoch, winners, stats, touched, t0 = prep.epoch, prep.winners, prep.stats, prep.touched, prep.t_start
-    snap = table.current_snapshot()
-    n_buckets = snap.n_buckets
     try:
-        if not touched:
-            # empty epoch still must be recorded (manifest completeness)
-            empty = spark.createDataFrame([], table.schema(snap).add(BUCKET_COL, "int"))
-            new_snap = table.commit_merge(empty, [], epoch, lineage={"n_events": 0})
-            return ApplyResult(epoch=epoch, skipped=False, snapshot=new_snap.version, apply_sec=time.time() - t0)
-
-        from pyspark.sql import types as T
-
-        from .table import DELETED_COL, _conform
-
-        batch_payload_schema = T.StructType(
-            [f for f in winners.schema.fields if f.name not in (BUCKET_COL, *META_COLS)]
-            + [T.StructField(DELETED_COL, T.BooleanType())]
-        )
-        table_schema = table.schema(snap)
-        target_schema, _changed = reconcile(table_schema, batch_payload_schema)
-
-        state = table.read(snap, buckets=touched, include_deleted=True)
-        changed_keys = winners.select(*KEYS)
-        survivors = state.join(changed_keys, on=KEYS, how="left_anti")
-
-        # Conditional LWW against existing state (MERGE ... WHEN MATCHED
-        # AND s.lsn > t.lsn semantics): batches need NOT arrive in LSN
-        # order (streaming file order, backfill replays). The state row
-        # (including tombstones) competes with the batch winner; highest
-        # (lsn, commit) wins. Deletes become tombstone rows, so an
-        # out-of-order older upsert cannot resurrect a deleted key;
-        # read() hides tombstones.
-        contested_state = _conform(state, target_schema).join(changed_keys, on=KEYS, how="left_semi")
-        contested_batch = _conform(
-            winners.drop(BUCKET_COL, "epoch").withColumn(DELETED_COL, F.col("op") == "D").drop("op"),
-            target_schema,
-        )
-        ord_struct = F.struct(*[F.col(c) for c in ORDER_COLS])
-        row_cols = [f.name for f in target_schema.fields]
-        resolved = (
-            contested_state.unionByName(contested_batch)
-            .groupBy(*KEYS)
-            .agg(F.max_by(F.struct(*row_cols), ord_struct).alias("r"))
-            .select("r.*")
-        )
-
-        new_state = _conform(survivors, target_schema).unionByName(resolved)
-        new_state = new_state.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
-        # one shuffle to co-locate buckets -> exactly one file per bucket
-        n_write = max(1, min(len(touched), spark.sparkContext.defaultParallelism * 2))
-        new_state = new_state.repartition(n_write, F.col(BUCKET_COL))
-
-        lineage = {
-            "n_events": int(stats["n_keys"]),
-            "n_keys": int(stats["n_keys"]),
-            "n_deletes": int(stats["n_deletes"] or 0),
-            "min_lsn": int(stats["min_lsn"]) if stats["min_lsn"] is not None else None,
-            "max_lsn": int(stats["max_lsn"]) if stats["max_lsn"] is not None else None,
-            "touched_buckets": len(touched),
-        }
-        new_snap = table.commit_merge(new_state, touched, epoch, new_schema=target_schema, lineage=lineage)
+        for attempt in range(3):
+            snap = table.current_snapshot()
+            if epoch in snap.applied:
+                # the competing writer applied our epoch — manifest no-op
+                return ApplyResult(epoch=epoch, skipped=True)
+            try:
+                new_snap, lineage = _merge_and_commit(spark, table, snap, winners, stats, touched, epoch)
+                break
+            except CommitConflict:
+                if attempt == 2:
+                    raise
     finally:
         winners.unpersist()
 
+    _ = lineage
     res = ApplyResult(
         epoch=epoch,
         skipped=False,
@@ -283,6 +242,73 @@ def commit_epoch(
 
         write_epoch_metrics(spark, metrics_dir, res)
     return res
+
+
+def _merge_and_commit(spark, table, snap, winners, stats, touched, epoch):
+    """One optimistic attempt: derive the merged state FROM ``snap`` and
+    publish with ``base_snap=snap`` (CommitConflict if anyone else
+    published first)."""
+    from pyspark.sql import types as T
+
+    from .table import DELETED_COL, _conform
+
+    n_buckets = snap.n_buckets
+    if not touched:
+        # empty epoch still must be recorded (manifest completeness)
+        empty = spark.createDataFrame([], table.schema(snap).add(BUCKET_COL, "int"))
+        lineage = {"n_events": 0}
+        return table.commit_merge(empty, [], epoch, lineage=lineage, base_snap=snap), lineage
+
+    batch_payload_schema = T.StructType(
+        [f for f in winners.schema.fields if f.name not in (BUCKET_COL, *META_COLS)]
+        + [T.StructField(DELETED_COL, T.BooleanType())]
+    )
+    table_schema = table.schema(snap)
+    target_schema, _changed = reconcile(table_schema, batch_payload_schema)
+
+    state = table.read(snap, buckets=touched, include_deleted=True)
+    changed_keys = winners.select(*KEYS)
+    survivors = state.join(changed_keys, on=KEYS, how="left_anti")
+
+    # Conditional LWW against existing state (MERGE ... WHEN MATCHED
+    # AND s.lsn > t.lsn semantics): batches need NOT arrive in LSN
+    # order (streaming file order, backfill replays). The state row
+    # (including tombstones) competes with the batch winner; highest
+    # (lsn, commit) wins. Deletes become tombstone rows, so an
+    # out-of-order older upsert cannot resurrect a deleted key;
+    # read() hides tombstones.
+    contested_state = _conform(state, target_schema).join(changed_keys, on=KEYS, how="left_semi")
+    contested_batch = _conform(
+        winners.drop(BUCKET_COL, "epoch").withColumn(DELETED_COL, F.col("op") == "D").drop("op"),
+        target_schema,
+    )
+    ord_struct = F.struct(*[F.col(c) for c in ORDER_COLS])
+    row_cols = [f.name for f in target_schema.fields]
+    resolved = (
+        contested_state.unionByName(contested_batch)
+        .groupBy(*KEYS)
+        .agg(F.max_by(F.struct(*row_cols), ord_struct).alias("r"))
+        .select("r.*")
+    )
+
+    new_state = _conform(survivors, target_schema).unionByName(resolved)
+    new_state = new_state.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
+    # one shuffle to co-locate buckets -> exactly one file per bucket
+    n_write = max(1, min(len(touched), spark.sparkContext.defaultParallelism * 2))
+    new_state = new_state.repartition(n_write, F.col(BUCKET_COL))
+
+    lineage = {
+        "n_events": int(stats["n_keys"]),
+        "n_keys": int(stats["n_keys"]),
+        "n_deletes": int(stats["n_deletes"] or 0),
+        "min_lsn": int(stats["min_lsn"]) if stats["min_lsn"] is not None else None,
+        "max_lsn": int(stats["max_lsn"]) if stats["max_lsn"] is not None else None,
+        "touched_buckets": len(touched),
+    }
+    return (
+        table.commit_merge(new_state, touched, epoch, new_schema=target_schema, lineage=lineage, base_snap=snap),
+        lineage,
+    )
 
 
 def iceberg_merge_sql(target: str, source_view: str, extra_cols: list[str] = ()) -> str:

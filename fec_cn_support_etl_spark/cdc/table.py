@@ -198,12 +198,21 @@ class LakeTable:
         epoch: str,
         new_schema: T.StructType | None = None,
         lineage: dict | None = None,
+        base_snap: Snapshot | None = None,
     ) -> Snapshot:
         """Write the new state of ``touched_buckets`` (COW), carry every
         other bucket by reference, record the epoch in the manifest, and
         atomically publish snapshot N+1. Replay-safe: caller must check
-        ``epoch in applied_epochs()`` first (engine does)."""
-        snap = self.current_snapshot()
+        ``epoch in applied_epochs()`` first (engine does).
+
+        ``base_snap``: the snapshot the caller DERIVED the new state
+        from. Publishing targets base.version+1, so any commit that
+        landed in between makes the CAS fail with CommitConflict
+        instead of silently merging stale state — pass it whenever the
+        new data was computed from a read of the table (optimistic
+        concurrency, Iceberg-style). Defaults to the current snapshot
+        (safe only for state-independent writes)."""
+        snap = base_snap or self.current_snapshot()
         version = snap.version + 1
         schema_json = dict(snap.schema_json)
         schema_id = snap.current_schema_id
@@ -266,7 +275,7 @@ class LakeTable:
             .filter(~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col("lsn") < below_lsn)))
             .repartition(max(1, len(touched)), F.col(BUCKET_COL))
         )
-        return self.commit_merge(kept, touched, epoch=f"purge-{snap.version}-{below_lsn}")
+        return self.commit_merge(kept, touched, epoch=f"purge-{snap.version}-{below_lsn}", base_snap=snap)
 
     def rebucket(self, n_buckets: int) -> Snapshot:
         """Bucket-count evolution: rewrite the whole table into

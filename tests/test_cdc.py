@@ -280,6 +280,34 @@ def test_commit_conflict_on_racing_publish(spark, wal, tmp_path):
     assert after.buckets == snap.buckets and after.applied == snap.applied
 
 
+def test_commit_epoch_retries_on_conflict(spark, wal, tmp_path, monkeypatch):
+    """Optimistic concurrency: commit_epoch re-derives the merge from a
+    fresh snapshot when the publish loses the CAS race; the result
+    equals the no-conflict replay."""
+    from fec_cn_support_etl_spark.cdc.table import CommitConflict
+
+    table_dir = str(tmp_path / "lake_occ")
+    runner.replay(spark, wal, table_dir, n_buckets=8, stop_after=1, log=lambda *_: None)
+    t = LakeTable(spark, table_dir)
+    real = LakeTable.commit_merge
+    fails = {"n": 0}
+
+    def flaky(self, *a, **kw):
+        if fails["n"] == 0:
+            fails["n"] += 1
+            raise CommitConflict("simulated racing writer")
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit_merge", flaky)
+    runner.replay(spark, wal, table_dir, n_buckets=8, stop_after=2, pipelined=False, log=lambda *_: None)
+    monkeypatch.setattr(LakeTable, "commit_merge", real)
+    assert fails["n"] == 1  # the retry path actually ran
+    runner.replay(spark, wal, table_dir, n_buckets=8, log=lambda *_: None)
+    got = table_state(spark, table_dir)
+    want = pandas_oracle(wal, list(range(EPOCHS)))
+    assert state_digest(got) == state_digest(want)
+
+
 def test_metrics_lineage(spark, wal, tmp_path):
     from fec_cn_support_etl_spark.cdc.metrics import read_metrics
 
