@@ -27,7 +27,6 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from ..session import get_spark
-from .engine import apply_epoch
 from .table import LakeTable
 
 TABLE_SCHEMA = T.StructType(

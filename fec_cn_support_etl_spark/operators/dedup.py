@@ -23,8 +23,6 @@ on candidate pairs (tiny vs corpus). Signatures are O(k) ints per doc.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

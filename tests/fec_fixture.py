@@ -13,7 +13,6 @@ The fixture exercises every edge the reference handles:
 
 from __future__ import annotations
 
-import random
 from pathlib import Path
 
 import pandas as pd

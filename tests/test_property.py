@@ -7,7 +7,6 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

@@ -4,7 +4,6 @@ batch window-chain twin."""
 from __future__ import annotations
 
 import pandas as pd
-import pytest
 from pyspark.sql import functions as F
 
 from fec_cn_support_etl_spark.streaming.sessionize import sessionize_batch, sessionize_stream
