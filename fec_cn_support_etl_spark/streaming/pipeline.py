@@ -60,6 +60,41 @@ def stream_cdc_ingest(
     return writer.start()
 
 
+def stream_dedup(
+    spark: SparkSession,
+    events_path: str,
+    key_cols=("event_id",),
+    watermark: str = "2 hours",
+    sink_table: str = "stream_deduped",
+) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark``: a
+    re-delivered key arriving within the watermark horizon is
+    suppressed; dedup state is evicted once the watermark passes, so
+    memory stays bounded by the horizon (the streaming analog of
+    operators.dedup.exact_dedup, for at-least-once upstream sources).
+    Run to completion with availableNow; returns the deduped rows."""
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        reader = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .parquet(os.path.dirname(events_path))
+        )
+    else:
+        reader = spark.readStream.schema(schema).parquet(events_path)
+    stream = reader.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(key_cols))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def windowed_event_agg(
     spark: SparkSession,
     events_path: str,

@@ -49,3 +49,39 @@ def test_stream_restart_is_noop(spark, wal, tmp_path):
     q2.awaitTermination()
     assert LakeTable(spark, stream_dir).current_snapshot().version == v1
     assert state_digest(table_state(spark, stream_dir)) == d1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate key deliveries across
+    micro-batch files are suppressed; output key set equals the batch
+    distinct."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fec_cn_support_etl_spark.streaming.pipeline import stream_dedup
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+
+    def wf(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "ts": pa.array([pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")),
+                    "event_type": pa.array(["x"] * len(rows)),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                }
+            ),
+            str(d / name),
+        )
+
+    wf("f1.parquet", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00"), (1, "2024-01-01 10:00:00")])
+    wf("f2.parquet", [(2, "2024-01-01 10:01:00"), (3, "2024-01-01 10:02:00")])  # re-delivery of 2
+    out = stream_dedup(spark, str(d), key_cols=("event_id",), sink_table="sdedup_t")
+    got = sorted(r["event_id"] for r in out.collect())
+    assert got == [1, 2, 3]
+    batch_distinct = spark.read.parquet(str(d)).dropDuplicates(["event_id"]).count()
+    assert len(got) == batch_distinct
