@@ -52,7 +52,11 @@ CDC_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_CDC_EPOCHS", "4"))
 def time_query(spark, fn, sf_dir) -> float:
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    dt = time.time() - t0
+    # sketch queries persist small intermediates (signatures, candidate
+    # shingles); drop them so repeated runs don't accumulate cache blocks
+    spark.catalog.clearCache()
+    return dt
 
 
 def cdc_bench(spark, events: int, epochs: int) -> dict:

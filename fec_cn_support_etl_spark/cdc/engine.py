@@ -39,6 +39,10 @@ from .table import BUCKET_COL, LakeTable, bucket_expr
 KEYS = ["repo", "path"]
 ORDER_COLS = ["lsn", "commit"]  # total order => bit-stable replay
 META_COLS = ["op", "epoch"]
+# Above this many merged keys a commit pays one extra bucket-aligned
+# shuffle to land exactly one file per bucket; below it the shuffle
+# costs more than the small files it prevents.
+BIG_EPOCH_KEYS = 1_000_000
 
 
 @dataclass
@@ -102,15 +106,22 @@ def lww_dedup(
 
 
 def detect_hot_keys(batch: DataFrame, threshold: float = 0.02, sample_fraction: float | None = None, seed: int = 42) -> DataFrame:
-    """(repo, path) keys above ``threshold`` of (sampled) batch rows."""
+    """(repo, path) keys above ``threshold`` of (sampled) batch rows.
+
+    Lazy and single-scan: total rows come from the per-key counts via a
+    global window (counts is distinct-key-sized), so no eager count()
+    and no second pass over the batch (operators/skew.py has the
+    general version + rationale)."""
+    from pyspark.sql.window import Window
+
     s = batch.select(*KEYS)
     if sample_fraction:
         s = s.sample(fraction=sample_fraction, seed=seed)
-    counts = s.groupBy(*KEYS).count()
-    total = s.count()
-    if total == 0:
-        return counts.select(*KEYS).limit(0)
-    return counts.filter(F.col("count") >= max(1, int(total * threshold))).select(*KEYS)
+    counts = s.groupBy(*KEYS).count().withColumn(
+        "__total", F.sum("count").over(Window.partitionBy())
+    )
+    cutoff = F.greatest(F.lit(1).cast("long"), F.floor(F.col("__total") * F.lit(threshold)))
+    return counts.filter(F.col("count") >= cutoff).select(*KEYS)
 
 
 def enrich_content(df: DataFrame, use_pandas_udf: bool = True) -> DataFrame:
@@ -267,35 +278,41 @@ def _merge_and_commit(spark, table, snap, winners, stats, touched, epoch):
     target_schema, _changed = reconcile(table_schema, batch_payload_schema)
 
     state = table.read(snap, buckets=touched, include_deleted=True)
-    changed_keys = winners.select(*KEYS)
-    survivors = state.join(changed_keys, on=KEYS, how="left_anti")
-
-    # Conditional LWW against existing state (MERGE ... WHEN MATCHED
-    # AND s.lsn > t.lsn semantics): batches need NOT arrive in LSN
-    # order (streaming file order, backfill replays). The state row
-    # (including tombstones) competes with the batch winner; highest
-    # (lsn, commit) wins. Deletes become tombstone rows, so an
-    # out-of-order older upsert cannot resurrect a deleted key;
-    # read() hides tombstones.
-    contested_state = _conform(state, target_schema).join(changed_keys, on=KEYS, how="left_semi")
-    contested_batch = _conform(
+    batch_rows = _conform(
         winners.drop(BUCKET_COL, "epoch").withColumn(DELETED_COL, F.col("op") == "D").drop("op"),
         target_schema,
     )
+
+    # Single-pass conditional LWW (MERGE ... WHEN MATCHED AND s.lsn >
+    # t.lsn semantics): every state row competes with its batch winner
+    # (if any) in ONE union + max_by groupBy. Keys the batch did not
+    # touch win their group trivially — the old survivors/contested
+    # split read the touched-bucket state TWICE (left_anti + left_semi
+    # branches); this reads it once and merges in a single shuffle.
+    # Batches need NOT arrive in LSN order (streaming file order,
+    # backfill replays): the state row (including tombstones) competes
+    # with the batch row and highest (lsn, commit) wins. Deletes become
+    # tombstone rows, so an out-of-order older upsert cannot resurrect
+    # a deleted key; read() hides tombstones.
     ord_struct = F.struct(*[F.col(c) for c in ORDER_COLS])
     row_cols = [f.name for f in target_schema.fields]
-    resolved = (
-        contested_state.unionByName(contested_batch)
+    new_state = (
+        _conform(state, target_schema)
+        .unionByName(batch_rows)
         .groupBy(*KEYS)
         .agg(F.max_by(F.struct(*row_cols), ord_struct).alias("r"))
         .select("r.*")
+        .withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
     )
-
-    new_state = _conform(survivors, target_schema).unionByName(resolved)
-    new_state = new_state.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
-    # one shuffle to co-locate buckets -> exactly one file per bucket
-    n_write = max(1, min(len(touched), spark.sparkContext.defaultParallelism * 2))
-    new_state = new_state.repartition(n_write, F.col(BUCKET_COL))
+    # Output-file control: big epochs pay one extra bucket-aligned
+    # shuffle for exactly-one-file-per-bucket (file hygiene dominates
+    # when the rewrite unit is large); small epochs skip it — AQE has
+    # already coalesced the agg output to a handful of partitions, so
+    # each touched bucket gets at most that many files and the next
+    # commit of the bucket rewrites them anyway.
+    if int(stats["n_keys"]) >= BIG_EPOCH_KEYS:
+        n_write = max(1, min(len(touched), spark.sparkContext.defaultParallelism * 2))
+        new_state = new_state.repartition(n_write, F.col(BUCKET_COL))
 
     lineage = {
         "n_events": int(stats["n_keys"]),

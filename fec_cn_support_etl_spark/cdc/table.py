@@ -15,7 +15,16 @@ Layout:
                                latest v{N}. Contains: schema (per
                                schema_id), bucket -> [data files],
                                applied epoch manifest, lineage refs.
-      data/v{N}/bucket={b}/*.parquet   -- files written by commit N
+      data/v{N}-{attempt}/bucket={b}/*.parquet   -- files written by an
+                               attempt at commit N. The attempt suffix
+                               (uuid) makes data paths unique PER
+                               WRITER, mirroring Iceberg's unique data-
+                               file names: two writers racing from base
+                               v{N-1} each write their own directory,
+                               so the CAS loser's overwrite can never
+                               clobber the winner's already-published
+                               files. Loser dirs are orphans reclaimed
+                               by vacuum.
 
 Copy-on-write at *bucket* granularity: a commit rewrites only the hash
 buckets its keys touch; untouched buckets are carried by reference.
@@ -34,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -220,7 +230,11 @@ class LakeTable:
             schema_id = f"s{len(schema_json)}"
             schema_json[schema_id] = new_schema.json()
 
-        out_dir = os.path.join(self._data_dir, f"v{version}")
+        # Unique attempt dir (Iceberg-style unique data-file names): a
+        # racing writer deriving the same target version writes its OWN
+        # directory, so losing the snapshot CAS below never corrupts the
+        # winner's published files; the loser dir is vacuumed as orphan.
+        out_dir = os.path.join(self._data_dir, f"v{version}-{uuid.uuid4().hex[:8]}")
         (
             new_bucket_data.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
@@ -293,7 +307,7 @@ class LakeTable:
             return snap
         full = self.read(snap, include_deleted=True)
         version = snap.version + 1
-        out_dir = os.path.join(self._data_dir, f"v{version}")
+        out_dir = os.path.join(self._data_dir, f"v{version}-{uuid.uuid4().hex[:8]}")
         (
             full.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, n_buckets))
             .repartition(max(1, min(n_buckets, self.spark.sparkContext.defaultParallelism)), BUCKET_COL)

@@ -123,7 +123,25 @@ def jaccard_verify(
     multiply ``inter*den >= union*num`` instead of the float compare —
     boundary-exact, so an external SQL oracle reproduces the row set
     bit-for-bit.
+
+    Scale shape: the verify stage needs shingles only for ids that
+    appear in a candidate pair, so ``shingles`` is semi-joined down to
+    those ids ONCE and the (tiny) result persisted — the three
+    consumers (sizes, A-side, B-side) read the cache instead of
+    re-running the full corpus shingle explode per branch. ``pairs``
+    is persisted too (it feeds the id list and the intersect join).
+    Callers looping many queries in one session should
+    ``spark.catalog.clearCache()`` between runs (bench does).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    shingles = shingles.join(ids, "id", "left_semi").persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
     sa = shingles.withColumnRenamed("id", "id_a")
     sb = shingles.withColumnRenamed("id", "id_b")
@@ -237,22 +255,34 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_candidates(sims: DataFrame, chunks: int = 4, max_hamming: int | None = None) -> DataFrame:
-    """Pigeonhole candidate pairs: split 64 bits into ``chunks`` equal
-    chunks; any pair with Hamming distance < chunks shares at least one
-    exact chunk, so self-join per chunk (uniform hash key — skew-free).
-    Returns (id_a, id_b, sa, sb) distinct candidates.
+    """Pigeonhole candidate pairs: split 64 bits into ``chunks`` near-
+    equal chunks (widths may differ by one when 64 % chunks != 0); any
+    pair with Hamming distance <= chunks-1 shares at least one exact
+    chunk WITH CERTAINTY, so self-join per chunk (uniform hash key —
+    skew-free). Returns (id_a, id_b, sa, sb) distinct candidates.
+
+    ``chunks`` is the recall/cost dial: capture is guaranteed only up
+    to Hamming chunks-1, while each extra chunk narrows the chunk value
+    space (64/chunks bits) and so multiplies bucket collisions — pick
+    the smallest chunk count whose guarantee covers the target
+    distance. At web scale with tight targets (Hamming <= 3) 4x16-bit
+    chunks is the classic operating point.
 
     ``max_hamming`` applies the bit_count(xor) prefilter BEFORE the
     distinct, so the dedup shuffle carries only close pairs instead of
     every chunk collision (~30x fewer rows on the sf0.1 fixture)."""
-    width = 64 // chunks
-    mask = (1 << width) - 1
+    base, rem = divmod(64, chunks)
+    widths = [base + 1 if c < rem else base for c in range(chunks)]
+    offsets = [sum(widths[:c]) for c in range(chunks)]
     chunk_rows = sims.select(
         "id",
         "simhash",
         F.explode(
             F.array(*[
-                F.struct(F.lit(c).alias("chunk"), F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)).alias("cv"))
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("simhash"), offsets[c]).bitwiseAND(F.lit((1 << widths[c]) - 1)).alias("cv"),
+                )
                 for c in range(chunks)
             ])
         ).alias("c"),

@@ -52,6 +52,19 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _topk_order(rank_scale: float | None):
+    """Top-k ordering for scored candidates. ``rank_scale`` ranks by the
+    quantized cosine floor(cosine * scale) with an id tiebreak, so
+    k-boundary membership and rank order are insensitive to sub-1/scale
+    float differences (e.g. another engine summing the dot product in a
+    different order — a MULTIPLY, so an external SQL twin evaluating
+    floor(cos * scale) gets the bit-identical key); None ranks by the
+    raw cosine."""
+    if rank_scale is None:
+        return [F.desc("cosine"), F.asc("id")]
+    return [F.desc(F.floor(F.col("cosine") * F.lit(float(rank_scale)))), F.asc("id")]
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,17 +73,19 @@ def brute_force_topk(
     query_id_col: str,
     query_vec_col: str,
     k: int = 10,
+    rank_scale: float | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast(queries) x corpus.
 
     Result: (query_id, id, cosine) — k rows per query, cosine desc,
-    id asc tiebreak (total order => deterministic).
+    id asc tiebreak (total order => deterministic). ``rank_scale``
+    quantizes the ordering key (see _topk_order).
     """
     q = F.broadcast(queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")))
     scored = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).crossJoin(q).select(
         "query_id", "id", cosine_col(F.col("qv"), F.col("v")).alias("cosine")
     )
-    return topk_per_group(scored, ["query_id"], [F.desc("cosine"), F.asc("id")], k)
+    return topk_per_group(scored, ["query_id"], _topk_order(rank_scale), k)
 
 
 def hyperplane_bucket_udf(dim: int, bits: int = 8, seed: int = 42):
@@ -139,6 +154,7 @@ def lsh_bucketed_topk(
     seed: int = 42,
     planes=None,
     multiprobe: int = 0,
+    rank_scale: float | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: compare only within matching
     hyperplane-LSH buckets. Recall < 1; cost ~ (1+multiprobe*bits)/2^bits
@@ -169,7 +185,7 @@ def lsh_bucketed_topk(
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id", "id", cosine_col(F.col("qv"), F.col("v")).alias("cosine")
     )
-    return topk_per_group(scored, ["query_id"], [F.desc("cosine"), F.asc("id")], k)
+    return topk_per_group(scored, ["query_id"], _topk_order(rank_scale), k)
 
 
 def int_centroids(dim: int, k: int, seed: int = 11, lo: int = -2, hi: int = 2):
@@ -221,6 +237,7 @@ def ivf_topk(
     centroids,
     k: int = 10,
     nprobe: int = 2,
+    rank_scale: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their nearest-centroid
     cell; each query scans only its ``nprobe`` nearest cells.
@@ -241,7 +258,7 @@ def ivf_topk(
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id", "id", cosine_col(F.col("qv"), F.col("v")).alias("cosine")
     )
-    return topk_per_group(scored, ["query_id"], [F.desc("cosine"), F.asc("id")], k)
+    return topk_per_group(scored, ["query_id"], _topk_order(rank_scale), k)
 
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, bits: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:

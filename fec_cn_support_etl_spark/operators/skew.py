@@ -40,17 +40,26 @@ def detect_hot_keys(
     """Keys carrying more than ``threshold`` of (sampled) rows.
 
     Returns a small DataFrame of the key columns (collectible /
-    broadcastable). Sampling keeps this O(sample) — at 10^10 events a
-    0.1% sample still sees every >0.01%-hot key thousands of times.
+    broadcastable). LAZY and single-scan: the total comes from the
+    already-computed per-key counts via a global window (the counts
+    relation is distinct-key-sized, so the window is trivial), so skew
+    detection never costs an extra full scan or an eager ``count()``
+    job — at 10^10 events the only pass over the data is the map-side-
+    combined groupBy that the caller's plan executes once, when
+    consumed. ``sample_fraction`` further caps agg CPU (a 0.1% sample
+    still sees every >0.01%-hot key thousands of times); the scan
+    itself is not avoidable by sampling.
     """
+    from pyspark.sql.window import Window
+
     s = df.select(*keys)
     if sample_fraction:
         s = s.sample(fraction=sample_fraction, seed=seed)
-    total = s.count()
-    if total == 0:
-        return s.distinct().limit(0)
-    cutoff = max(1, int(total * threshold))
-    return s.groupBy(*keys).count().filter(F.col("count") >= cutoff).select(*keys)
+    counts = s.groupBy(*keys).count().withColumn(
+        "__total", F.sum("count").over(Window.partitionBy())
+    )
+    cutoff = F.greatest(F.lit(1).cast("long"), F.floor(F.col("__total") * F.lit(threshold)))
+    return counts.filter(F.col("count") >= cutoff).select(*keys)
 
 
 def salted_repartition(

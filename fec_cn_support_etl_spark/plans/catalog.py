@@ -585,8 +585,8 @@ def q5_local_supplier_volume(spark, sf_dir):
     "q12_shipmode_priority",
     """
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate > o.o_orderdate
       AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -876,18 +876,21 @@ def word_jaccard_pairs(spark, sf_dir):
       FROM q CROSS JOIN embeddings c
     )
     SELECT query_id, id, rank FROM (
-      SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+      SELECT query_id, id, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY CAST(floor(cos * 1000000) AS BIGINT) DESC, id ASC) AS rank
       FROM s
     ) WHERE rank <= 10
     """,
 )
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (exact ANN baseline): broadcast queries,
-    JVM-side dot products, rank output only (float-order safe)."""
+    JVM-side dot products, ranks by the 1e-6-quantized cosine with an id
+    tiebreak so near-ties cannot swap across engines (see _qcos)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    res = brute_force_topk(emb, q, "vec_id", "embedding", "vec_id", "embedding", k=10)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    res = brute_force_topk(emb, q, "vec_id", "embedding", "vec_id", "embedding", k=10, rank_scale=1e6)
+    w = Window.partitionBy("query_id").orderBy(F.desc(_qcos("cosine")), F.asc("id"))
     return res.withColumn("rank", F.row_number().over(w)).select("query_id", "id", "rank")
 
 
@@ -997,10 +1000,14 @@ def minhash_neardup_pairs_q(spark, sf_dir):
     survivors, integer-threshold 4/5.
 
     Recall: at the fixture's true-pair floor (j >= 0.83) a 16x3 band
-    miss is P = (1-j^3)^16 ~ 1e-6 per pair, so the LSH output IS the
-    exact >= 0.8 pair set; the oracle is the brute-force all-pairs
-    Jaccard. Scale path unchanged: candidates via uniform band-hash
-    join, exact verify touches candidates only."""
+    miss is P = (1-j^3)^16 ~ 1e-6 per pair — and deterministic for the
+    fixed hash family + fixture, so the LSH output IS the exact >= 0.8
+    pair set. The estimate prune runs at 0.35, far below a true pair's
+    expected 0.83 signature agreement (binomial tail < 1e-20) and far
+    above the ~0.18 background, so it cannot drop a true pair while
+    still discarding nearly all false candidates. Oracle: brute-force
+    all-pairs Jaccard. Scale path unchanged: candidates via uniform
+    band-hash join, exact verify touches candidates only."""
     from pyspark.storagelevel import StorageLevel
 
     d = _t(spark, sf_dir, "documents")
@@ -1011,18 +1018,20 @@ def minhash_neardup_pairs_q(spark, sf_dir):
     # (11.3s -> 4.1s at sf0.1)
     sig = minhash_signatures(sh, num_hashes=48).persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_lsh_pairs(sig, bands=16)
-    pruned = signature_verify(cand, sig, threshold=0.5).select("id_a", "id_b")
+    pruned = signature_verify(cand, sig, threshold=0.35).select("id_a", "id_b")
     return jaccard_verify(pruned, sh, threshold_frac=(4, 5))
 
 
 @_q("simhash_neardup_pairs", _CHAR5_JACCARD_SQL)
 def simhash_neardup_pairs_q(spark, sf_dir):
     """SimHash near-dup pairs, exact output: char-shingle SimHash ->
-    pigeonhole chunk candidates (8 chunks cover Hamming <= 7 with
-    certainty; measured true-pair Hamming <= 8 across sf0.001-0.1,
-    all captured) -> Hamming <= 16 prefilter (2x margin, cuts sf0.1
-    candidates ~30x) -> exact Jaccard 4/5 on survivors. Same oracle as
-    minhash: the sketch changes the plan, not the answer."""
+    pigeonhole chunk candidates (11 chunks cover Hamming <= 10 with
+    CERTAINTY — measured true-pair Hamming <= 8 across sf0.001-0.1, so
+    the guarantee covers the data with 2 bits of margin, not just the
+    fixture luck an 8-chunk split would rely on) -> Hamming <= 16
+    prefilter (cuts sf0.1 candidates ~30x) -> exact Jaccard 4/5 on
+    survivors. Same oracle as minhash: the sketch changes the plan,
+    not the answer."""
     from pyspark.storagelevel import StorageLevel
 
     d = _t(spark, sf_dir, "documents")
@@ -1030,7 +1039,7 @@ def simhash_neardup_pairs_q(spark, sf_dir):
     # docs x 1 long — persisted because the chunk self-join reads it on
     # both sides (same rationale as the minhash signature cache)
     sims = simhash_from_hashes(sh.withColumnRenamed("sh", "th")).persist(StorageLevel.MEMORY_AND_DISK)
-    close = simhash_candidates(sims, chunks=8, max_hamming=16).select("id_a", "id_b")
+    close = simhash_candidates(sims, chunks=11, max_hamming=16).select("id_a", "id_b")
     return jaccard_verify(close, sh, threshold_frac=(4, 5))
 
 
@@ -1065,27 +1074,38 @@ _ANN_LSH_SQL = (
         ON c.bucket IN (qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8))
     )
     SELECT query_id, id, rank FROM (
-      SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+      SELECT query_id, id, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY CAST(floor(cos * 1000000) AS BIGINT) DESC, id ASC) AS rank
       FROM s
     ) WHERE rank <= 10
 """
 )
+
+# Ranking quantizer shared by the ANN queries: ordering by
+# floor(cos * 1e6) with an id tiebreak makes rank (and therefore top-k
+# membership at the k-th boundary) insensitive to sub-1e-6 float
+# divergence between engines' cosine summation — candidate sets are
+# already engine-exact via the integer planes/centroids.
+def _qcos(col):
+    return F.floor(F.col(col) * F.lit(1_000_000.0))
 
 
 @_q("ann_lsh_bucketed_topk", _ANN_LSH_SQL)
 def ann_lsh_bucketed_topk_q(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN with Hamming-1 multi-probe (probes
     5 of 16 buckets). Integer-entry planes make the buckets FP-exact,
-    so the DuckDB oracle replays the identical candidate set; ranks are
-    the output (float-order-safe, id tiebreak). Recall vs brute force
+    so the DuckDB oracle replays the identical candidate set; ranks
+    order by the 1e-6-quantized cosine (id tiebreak), so near-tied
+    candidates cannot swap across engines. Recall vs brute force
     additionally asserted in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     res = lsh_bucketed_topk(
         emb, q, "vec_id", "embedding", "vec_id", "embedding",
-        dim=64, k=10, planes=_ANN_PLANES, multiprobe=1,
+        dim=64, k=10, planes=_ANN_PLANES, multiprobe=1, rank_scale=1e6,
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(_qcos("cosine")), F.asc("id"))
     return res.withColumn("rank", F.row_number().over(w)).select("query_id", "id", "rank")
 
 
@@ -1158,7 +1178,9 @@ _ANN_IVF_SQL = (
       FROM q JOIN a c ON list_contains(q.probes, c.cell)
     )
     SELECT query_id, id, rank FROM (
-      SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+      SELECT query_id, id, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY CAST(floor(cos * 1000000) AS BIGINT) DESC, id ASC) AS rank
       FROM s
     ) WHERE rank <= 10
 """
@@ -1171,15 +1193,16 @@ def ann_ivf_topk_q(spark, sf_dir):
     pure-expression assignment, corpus never shuffles), queries probe
     their 2 nearest cells. Integer centroids make the cell assignment
     engine-exact, so the DuckDB oracle replays the identical candidate
-    set; ranks are the output. Recall/monotonicity additionally
-    asserted in tests/test_similarity.py."""
+    set; ranks order by the 1e-6-quantized cosine (id tiebreak — see
+    _qcos). Recall/monotonicity additionally asserted in
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     res = ivf_topk(
         emb, q, "vec_id", "embedding", "vec_id", "embedding",
-        centroids=_IVF_CENTROIDS, k=10, nprobe=_IVF_NPROBE,
+        centroids=_IVF_CENTROIDS, k=10, nprobe=_IVF_NPROBE, rank_scale=1e6,
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(_qcos("cosine")), F.asc("id"))
     return res.withColumn("rank", F.row_number().over(w)).select("query_id", "id", "rank")
 
 

@@ -43,11 +43,18 @@ def _strip_trailing_newlines(path: str) -> None:
     with open(path, "rb+") as fh:
         fh.seek(0, os.SEEK_END)
         size = fh.tell()
-        tail = min(size, 64)
-        fh.seek(size - tail)
-        chunk = fh.read(tail)
-        stripped = chunk.rstrip(b"\r\n")
-        fh.truncate(size - (len(chunk) - len(stripped)))
+        # Walk backwards in chunks until a non-newline byte appears, so
+        # ALL trailing CR/LF bytes go (the reference strips the full
+        # tail, however long — byte parity is the contract).
+        while size > 0:
+            tail = min(size, 64)
+            fh.seek(size - tail)
+            chunk = fh.read(tail)
+            stripped = chunk.rstrip(b"\r\n")
+            size -= len(chunk) - len(stripped)
+            if stripped:  # found a non-newline byte in this chunk
+                break
+        fh.truncate(size)
 
 
 def write_csv_no_blank_line(

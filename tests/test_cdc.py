@@ -108,6 +108,32 @@ def test_skew_handling_same_result(spark, wal, tmp_path):
     assert state_digest(table_state(spark, a)) == state_digest(table_state(spark, b))
 
 
+def test_detect_hot_keys_lazy_single_scan(spark, wal):
+    """Skew detection must not cost an eager extra scan: building the
+    hot-key frame runs ZERO jobs (the total comes from the per-key
+    counts via a global window, not a separate count()), and consuming
+    it runs one job over one pass of the batch."""
+    from fec_cn_support_etl_spark.cdc.engine import detect_hot_keys
+
+    # one hot key (60% of rows) among a uniform tail
+    data = [("hot/repo", "a.py")] * 300 + [(f"r{i % 40}", f"p{i}.py") for i in range(200)]
+    batch = spark.createDataFrame(data, ["repo", "path"])
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    hot = detect_hot_keys(batch, threshold=0.02)
+    assert set(tracker.getJobIdsForGroup()) == before, "detect_hot_keys ran an eager job"
+    rows = hot.collect()
+    assert {(r["repo"], r["path"]) for r in rows} == {("hot/repo", "a.py")}
+    # exactness unchanged vs the eager two-pass version on real WAL data
+    wal_batch = spark.read.parquet(os.path.join(wal, "epoch=0"))
+    pdf = wal_batch.toPandas()
+    counts = pdf.groupby(["repo", "path"]).size()
+    cutoff = max(1, int(len(pdf) * 0.005))
+    want = set(counts[counts >= cutoff].index)
+    got = {(r["repo"], r["path"]) for r in detect_hot_keys(wal_batch, threshold=0.005).collect()}
+    assert got == want
+
+
 def test_schema_evolution_added_column(spark, wal, tmp_path):
     table_dir = str(tmp_path / "lake")
     runner.replay(spark, wal, table_dir, n_buckets=16)
@@ -278,6 +304,43 @@ def test_commit_conflict_on_racing_publish(spark, wal, tmp_path):
         t._write_snapshot(loser)
     after = t.current_snapshot()
     assert after.buckets == snap.buckets and after.applied == snap.applied
+
+
+def test_losing_writer_cannot_clobber_winner_data(spark, wal, tmp_path):
+    """The r2-ADVICE race: two writers derive from the same base
+    snapshot; the winner publishes v{N+1}, then the loser WRITES ITS
+    DATA (commit_merge writes parquet before the snapshot CAS) and only
+    then loses the CAS. With a shared data/v{N+1} directory the loser's
+    mode('overwrite') would delete the winner's already-published files
+    — unique per-attempt data dirs must keep the winner's state
+    byte-identical through the loser's failed attempt."""
+    from pyspark.sql import functions as F
+
+    from fec_cn_support_etl_spark.cdc.table import BUCKET_COL, CommitConflict, bucket_expr
+
+    table_dir = str(tmp_path / "lake_clobber")
+    runner.replay(spark, wal, table_dir, n_buckets=8, stop_after=1, log=lambda *_: None)
+    t = LakeTable(spark, table_dir)
+    base = t.current_snapshot()
+
+    full = t.read(base, include_deleted=True).withColumn(
+        BUCKET_COL, bucket_expr(base.key_cols, base.n_buckets)
+    )
+    touched = sorted(r[0] for r in full.select(BUCKET_COL).distinct().collect())
+    t.commit_merge(full, touched, epoch="writer-a", base_snap=base)
+    digest_after_winner = state_digest(table_state(spark, table_dir))
+
+    # loser: same base, same target version, recognizably different rows
+    loser_data = full.withColumn("commit", F.lit("LOSER"))
+    with pytest.raises(CommitConflict):
+        t.commit_merge(loser_data, touched, epoch="writer-b", base_snap=base)
+
+    # the winner's committed files survived the loser's data write
+    assert state_digest(table_state(spark, table_dir)) == digest_after_winner
+    assert not (table_state(spark, table_dir)["commit"] == "LOSER").any()
+    # and vacuum reclaims the loser's orphan attempt dir
+    t.vacuum(keep_last=1)
+    assert state_digest(table_state(spark, table_dir)) == digest_after_winner
 
 
 def test_commit_epoch_retries_on_conflict(spark, wal, tmp_path, monkeypatch):

@@ -76,6 +76,25 @@ def test_distributed_sink_same_contract(small_df, tmp_path):
     assert sha(p2) == sha(p3)
 
 
+def test_strip_handles_tails_longer_than_one_chunk(tmp_path):
+    """r2-ADVICE: a file ending in more than 64 CR/LF bytes must still
+    strip ALL of them (the reference helper strips the full tail; the
+    sink's contract is sha256 byte parity)."""
+    from fec_cn_support_etl_spark.sources.csv_sink import _strip_trailing_newlines
+
+    p = str(tmp_path / "tail.csv")
+    with open(p, "wb") as fh:
+        fh.write(b"id,name\n1,alpha" + b"\r\n" * 100)
+    _strip_trailing_newlines(p)
+    with open(p, "rb") as fh:
+        assert fh.read() == b"id,name\n1,alpha"
+    # all-newline file degenerates to empty, not an infinite loop
+    with open(p, "wb") as fh:
+        fh.write(b"\n" * 200)
+    _strip_trailing_newlines(p)
+    assert os.path.getsize(p) == 0
+
+
 def test_pipeline_output_layout(spark, tmp_path):
     """run_all_offices -> the reference's 18 CSVs, every one stripped."""
     root = tmp_path / "fec"

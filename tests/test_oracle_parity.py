@@ -70,8 +70,14 @@ def test_query_matches_oracle(spark, name):
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(catalog.QUERIES) - set(catalog.ORACLE)))
-def test_rows_only_queries_run(spark, name):
-    df = catalog.QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+_ROWS_ONLY = sorted(set(catalog.QUERIES) - set(catalog.ORACLE))
+
+
+def test_every_query_is_oracle_backed():
+    """Pins the gate's strength: the rows-only (no-oracle) query set is
+    EMPTY — every catalog query gets the full rows+schema+hash compare.
+    If a future query legitimately can't have an ANSI-SQL oracle, this
+    must fail and be consciously replaced with a rows-only runner test
+    for that query (previously an empty parametrize here reported the
+    suite's unexplained '1 skipped')."""
+    assert _ROWS_ONLY == [], f"queries without oracle coverage: {_ROWS_ONLY}"
