@@ -39,10 +39,6 @@ from .table import BUCKET_COL, LakeTable, bucket_expr
 KEYS = ["repo", "path"]
 ORDER_COLS = ["lsn", "commit"]  # total order => bit-stable replay
 META_COLS = ["op", "epoch"]
-# Above this many merged keys a commit pays one extra bucket-aligned
-# shuffle to land exactly one file per bucket; below it the shuffle
-# costs more than the small files it prevents.
-BIG_EPOCH_KEYS = 1_000_000
 
 
 @dataclass
@@ -304,15 +300,11 @@ def _merge_and_commit(spark, table, snap, winners, stats, touched, epoch):
         .select("r.*")
         .withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
     )
-    # Output-file control: big epochs pay one extra bucket-aligned
-    # shuffle for exactly-one-file-per-bucket (file hygiene dominates
-    # when the rewrite unit is large); small epochs skip it — AQE has
-    # already coalesced the agg output to a handful of partitions, so
-    # each touched bucket gets at most that many files and the next
-    # commit of the bucket rewrites them anyway.
-    if int(stats["n_keys"]) >= BIG_EPOCH_KEYS:
-        n_write = max(1, min(len(touched), spark.sparkContext.defaultParallelism * 2))
-        new_state = new_state.repartition(n_write, F.col(BUCKET_COL))
+    # Bucket-aligned repartition: exactly one file per bucket AND full
+    # write parallelism (without it AQE coalesces the small agg output
+    # to ~2 x 64MB partitions and the parquet write serializes).
+    n_write = max(1, min(len(touched), spark.sparkContext.defaultParallelism * 2))
+    new_state = new_state.repartition(n_write, F.col(BUCKET_COL))
 
     lineage = {
         "n_events": int(stats["n_keys"]),

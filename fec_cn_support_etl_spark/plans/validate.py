@@ -124,6 +124,51 @@ def spot_check_top_candidates(df: DataFrame, k: int = 5) -> list[dict]:
     return [r.asDict() for r in rows]
 
 
+def check_top_anomalies(
+    df: DataFrame, k: int = 50, max_zero_indiv: int = 5
+) -> tuple[bool, dict]:
+    """verify_data.py test 5 (:191-207): the top-``k`` candidates by
+    TOTAL_SUPPORT must have no $0 totals (hard error), and more than
+    ``max_zero_indiv`` of them with $0 individual support is anomalous
+    (the reference warns; we fail). One top-k (orderBy + limit over the
+    candidate-dim-sized output) + one aggregate — no per-row collect."""
+    top = df.orderBy(F.desc("TOTAL_SUPPORT"), F.asc("CAND_ID")).limit(k)
+    row = top.agg(
+        F.sum((F.col("TOTAL_SUPPORT") == 0).cast("int")).alias("zero_total"),
+        F.sum((F.coalesce(F.col("INDIVIDUAL_SUPPORT"), F.lit(0.0)) == 0).cast("int")).alias("zero_indiv"),
+    ).collect()[0]
+    zero_total = int(row["zero_total"] or 0)
+    zero_indiv = int(row["zero_indiv"] or 0)
+    ok = zero_total == 0 and zero_indiv <= max_zero_indiv
+    return ok, {"zero_total_in_top": zero_total, "zero_indiv_in_top": zero_indiv, "k": k}
+
+
+def check_expected_candidates(
+    df: DataFrame, expected_ids, k: int = 10
+) -> tuple[bool, dict]:
+    """verify_data.py test 10 (:303-315): every expected CAND_ID (the
+    cycle's known top fundraisers) must be present in the output (hard
+    error when missing, as in the reference); additionally reports which
+    of them made the top-``k`` — the reference prints the top-10 for the
+    same eyeball check."""
+    expected = list(expected_ids)
+    if not expected:
+        return True, {"missing": [], "in_top_k": []}
+    present = {
+        r["CAND_ID"]
+        for r in df.select("CAND_ID")
+        .join(df.sparkSession.createDataFrame([(c,) for c in expected], ["CAND_ID"]), "CAND_ID", "left_semi")
+        .distinct()
+        .collect()
+    }
+    top_ids = {
+        r["CAND_ID"]
+        for r in df.orderBy(F.desc("TOTAL_SUPPORT"), F.asc("CAND_ID")).limit(k).select("CAND_ID").collect()
+    }
+    missing = sorted(set(expected) - present)
+    return not missing, {"missing": missing, "in_top_k": sorted(set(expected) & top_ids), "k": k}
+
+
 def check_golden_envelope(
     total: DataFrame,
     senate: DataFrame,
@@ -176,12 +221,18 @@ def check_golden_envelope(
     return not problems, problems
 
 
-def run_all_checks(outputs: dict[str, DataFrame], offices, year: str) -> dict[str, tuple]:
+def run_all_checks(
+    outputs: dict[str, DataFrame], offices, year: str, expected_ids=()
+) -> dict[str, tuple]:
     """Mirror of validate_outputs.main over one office group's outputs
     (checks 1-7, 9, 10; check 8 = office additivity needs the three
-    office groups — ``check_office_additivity``)."""
+    office groups — ``check_office_additivity``) plus verify_data's
+    anomaly tests 5 and 10 (``expected_ids``: the cycle's known top
+    fundraisers, empty = skip the membership check)."""
     allf = outputs["candidates_all_with_flag"]
     return {
+        "top_anomalies": check_top_anomalies(outputs["final_support_table"]),
+        "expected_candidates": check_expected_candidates(allf, expected_ids),
         "key_uniqueness": check_key_uniqueness(allf),
         "office_purity": check_office_purity(allf, offices),
         "single_year": check_single_year(allf, year),

@@ -87,3 +87,50 @@ def combine_by_type(
         out = os.path.join(output_dir, f"combined_{office}_ALL.csv")
         written[office] = write_csv_no_blank_line(df, out, mode=mode)
     return written
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict:
+    """CLI twin of the reference's argparse entry point
+    (combine_csv.py:135-153): single-file mode unions every CSV under
+    --input-dir into --output; --by-type writes one combined CSV per
+    {senate, presidential, total} subdirectory into --output-dir.
+    Run as ``python -m fec_cn_support_etl_spark.sources.csv_union``."""
+    import argparse
+    import json
+    import os
+
+    from ..session import get_spark
+    from .csv_sink import write_csv_no_blank_line
+
+    ap = argparse.ArgumentParser(
+        description="Combine CSVs from final_output_files: all into one file, or separate by office type."
+    )
+    ap.add_argument("--input-dir", required=True, help="Folder containing the CSV files")
+    ap.add_argument("--output", help="Output CSV path (single-file mode; default <input-dir>/final_support_table_ALL.csv)")
+    ap.add_argument("--output-dir", help="Output directory (by-type mode; default <input-dir>)")
+    ap.add_argument("--recursive", action="store_true", help="Recursively search subdirectories for CSVs")
+    ap.add_argument("--by-type", action="store_true", help="Separate combined files for senate/presidential/total")
+    ap.add_argument("--master", default=None, help="Spark master (default: env/local)")
+    a = ap.parse_args(argv)
+
+    own_session = spark is None
+    spark = spark or get_spark(app_name="combine-csv", master=a.master)
+    try:
+        if a.by_type:
+            written = combine_by_type(spark, a.input_dir, a.output_dir or a.input_dir)
+            result = {"mode": "by_type", "written": written}
+        else:
+            out = a.output or os.path.join(a.input_dir, "final_support_table_ALL.csv")
+            df = combine_csvs(spark, a.input_dir, recursive=a.recursive).drop("source_path")
+            report = {r["office_type"]: r["count"] for r in office_type_report(df).collect()}
+            write_csv_no_blank_line(df, out, mode="distributed")
+            result = {"mode": "single", "written": out, "by_office": report}
+        print(json.dumps(result))
+        return result
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()

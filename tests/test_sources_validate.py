@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -64,6 +66,34 @@ def test_combine_by_type_partitioned_outputs(spark, tmp_path):
         assert not fh.read().endswith(b"\n")
 
 
+def test_combine_csv_cli(spark, tmp_path):
+    """The argparse entry point (reference combine_csv.py:135-153):
+    single-file mode and --by-type mode both write combined CSVs."""
+    from fec_cn_support_etl_spark.sources.csv_union import main
+
+    for office, rows in (("senate", "A1,100.0\nA2,50.0"), ("total", "B1,7.5")):
+        d = tmp_path / "in" / office
+        d.mkdir(parents=True)
+        with open(d / f"{office}_final_support_table_16.csv", "w") as fh:
+            fh.write(f"CAND_ID,TOTAL_SUPPORT\n{rows}\n")
+
+    out_single = str(tmp_path / "all.csv")
+    res = main(
+        ["--input-dir", str(tmp_path / "in"), "--output", out_single, "--recursive"],
+        spark=spark,
+    )
+    assert res["mode"] == "single" and os.path.exists(out_single)
+    assert res["by_office"] == {"senate": 2, "total": 1}
+
+    res = main(
+        ["--input-dir", str(tmp_path / "in"), "--output-dir", str(tmp_path / "out"), "--by-type"],
+        spark=spark,
+    )
+    assert set(res["written"]) == {"senate", "total"}
+    sen = spark.read.options(header=True).csv(res["written"]["senate"])
+    assert sen.count() == 2 and "office_type" in sen.columns
+
+
 def test_validate_checks_pass_on_pipeline(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("fecval")
     write_fixture(root)
@@ -120,6 +150,41 @@ def test_golden_envelope_pass_and_fail(spark, tmp_path_factory):
     }
     ok, problems = V.check_golden_envelope(tot, sen, pres, bad)
     assert not ok and len(problems) == 3, problems
+
+
+def test_top_anomalies_and_expected_candidates(spark, tmp_path_factory):
+    """verify_data.py tests 5 (:191-207) and 10 (:303-315): clean
+    pipeline output passes; a $0-total row injected into the top-k and
+    a missing expected CAND_ID are both caught."""
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("fecanom")
+    write_fixture(root)
+    inp = P.FecInputs(
+        cn=fec_src.read_fec_dir(spark, root / "cn", "cn"),
+        cm=fec_src.read_fec_dir(spark, root / "cm", "cm"),
+        ccl=fec_src.read_fec_dir(spark, root / "ccl", "ccl"),
+        itcont=fec_src.read_fec_dir(spark, root / "itcont", "itcont"),
+        itpas2=fec_src.read_fec_dir(spark, root / "itpas2", "itpas2"),
+    )
+    groups = P.run_all_offices(inp, YEAR)
+    final = groups["total"]["final_support_table"]
+
+    ok, detail = V.check_top_anomalies(final, k=50)
+    assert ok, detail
+    assert detail["zero_total_in_top"] == 0
+
+    # break it: one row with $0 total sneaks into the (small) top-k
+    broken = final.limit(1).withColumn("TOTAL_SUPPORT", F.lit(0.0)).unionByName(final)
+    ok, detail = V.check_top_anomalies(broken, k=broken.count())
+    assert not ok and detail["zero_total_in_top"] == 1
+
+    # expected-candidate membership: present ids pass, a fake id fails
+    some_id = final.select("CAND_ID").first()["CAND_ID"]
+    ok, detail = V.check_expected_candidates(final, [some_id], k=10)
+    assert ok, detail  # present in data (top-k membership is informational)
+    ok, detail = V.check_expected_candidates(final, [some_id, "ZZNOPE0000"], k=10)
+    assert not ok and detail["missing"] == ["ZZNOPE0000"]
 
 
 def test_intermediate_containment_catches_stray_id(spark, tmp_path_factory):
