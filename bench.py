@@ -49,14 +49,32 @@ CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_CDC_EVENTS", "400000"))
 CDC_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_CDC_EPOCHS", "4"))
 
 
-def time_query(spark, fn, sf_dir) -> float:
-    t0 = time.time()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    dt = time.time() - t0
-    # sketch queries persist small intermediates (signatures, candidate
-    # shingles); drop them so repeated runs don't accumulate cache blocks
-    spark.catalog.clearCache()
-    return dt
+def _quiet_gate(max_wait_sec: int = 120) -> None:
+    """Best-effort wait for a low-steal window (this host shows
+    minute-scale hypervisor contention episodes that inflate any single
+    measurement 3-10x; see bench_scaling.wait_for_quiet_host)."""
+    try:
+        from bench_scaling import wait_for_quiet_host
+
+        wait_for_quiet_host(max_wait_sec=max_wait_sec)
+    except Exception:
+        pass  # /proc/stat layout surprises must not kill the bench
+
+
+def time_query(spark, fn, sf_dir, trials: int = 2) -> float:
+    """Best-of-``trials`` wall time: a contention episode during one
+    trial doesn't masquerade as a regression (per-query minimum is the
+    honest capacity estimate on a noisy host; BENCH.md documents this)."""
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+        # sketch queries persist small intermediates (signatures,
+        # candidate shingles); drop them so repeated runs don't
+        # accumulate cache blocks
+        spark.catalog.clearCache()
+    return best
 
 
 def cdc_bench(spark, events: int, epochs: int) -> dict:
@@ -99,16 +117,17 @@ def main():
         "overwrite"
     ).save()
 
+    _quiet_gate()
     queries = {}
-    t_all0 = time.time()
     for name in HEADLINE:
         queries[name] = round(time_query(spark, catalog.QUERIES[name], sf_dir), 3)
-    total = time.time() - t_all0
+    total = sum(queries.values())
 
+    _quiet_gate()
     cdc = cdc_bench(spark, CDC_EVENTS, CDC_EPOCHS)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
-        "metric": "headline query wall time at sf + CDC upsert throughput",
+        "metric": "headline query wall time (best-of-2 per query) at sf + CDC upsert throughput",
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,

@@ -316,6 +316,80 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- near-dup clusters (components)
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id, component) for every id in ``pairs`` — component = MIN id
+    reachable in the near-dup graph. The training-data dedup step after
+    pair finding: pairs alone don't dedup a corpus; clusters pick one
+    canonical survivor per group (min id).
+
+    Algorithm: iterative min-label propagation with pointer halving —
+    each round every node takes the min of its own label, its
+    neighbors' labels, and its label's label (path compression), so
+    convergence is O(log diameter) rounds; near-dup graphs (tiny
+    cliques/chains) converge in 2-3. Each round is localCheckpoint-ed:
+    iterative DataFrame loops otherwise nest the previous round's plan
+    inside the next and the lineage grows until the driver chokes —
+    checkpointing truncates it, keeping every round O(1) plan size.
+    The loop stops when a round changes nothing; ``max_iter`` bounds
+    adversarial chains.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            # min label among self + neighbors (one shuffle) ...
+            nbr_min = (
+                edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+                .withColumnRenamed("src", "id")
+            )
+            stepped = labels.join(nbr_min, "id", "left").select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))).alias("component"),
+            )
+            # ... then pointer halving: component <- component's component
+            # (every label value is itself a node id, so the join is total)
+            grand = stepped.select(F.col("id").alias("component"), F.col("component").alias("grand"))
+            new_labels = (
+                stepped.join(grand, "component")
+                .select("id", F.least(F.col("component"), F.col("grand")).alias("component"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.withColumnRenamed("component", "new_component")
+                .join(labels, "id")
+                .filter(F.col("new_component") != F.col("component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def neardup_clusters(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) for every doc appearing in a
+    near-dup pair: cluster_id = min doc id in the connected component,
+    is_canonical marks the one survivor a dedup pass would keep."""
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 # -------------------------------------------------- n-gram Jaccard (exact)
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5) -> DataFrame:

@@ -1002,23 +1002,30 @@ def minhash_neardup_pairs_q(spark, sf_dir):
     Recall: at the fixture's true-pair floor (j >= 0.83) a 16x3 band
     miss is P = (1-j^3)^16 ~ 1e-6 per pair — and deterministic for the
     fixed hash family + fixture, so the LSH output IS the exact >= 0.8
-    pair set. The estimate prune runs at 0.35, far below a true pair's
-    expected 0.83 signature agreement (binomial tail < 1e-20) and far
-    above the ~0.18 background, so it cannot drop a true pair while
-    still discarding nearly all false candidates. Oracle: brute-force
-    all-pairs Jaccard. Scale path unchanged: candidates via uniform
-    band-hash join, exact verify touches candidates only."""
+    pair set. The estimate prune runs at 0.45 — 7 sigma below a true
+    pair's expected 0.83 signature agreement (Bin(48,.83): mean 39.8,
+    sd 2.6, P[< 21.6] ~ 1e-12), so it cannot drop a true pair; and the
+    sf0.1 background estimate distribution thins fast above 0.4 (33k
+    survivors at 0.40, 5.8k at 0.45, identical 256-pair exact output at
+    0.40/0.45/0.50), so the exact-verify stage stays tiny. Oracle:
+    brute-force all-pairs Jaccard. Scale path unchanged: candidates via
+    uniform band-hash join, exact verify touches candidates only."""
     from pyspark.storagelevel import StorageLevel
 
     d = _t(spark, sf_dir, "documents")
-    sh = char_shingles(d, "doc_id", "text", k=5)
+    # (id, int64-shingle) rows feed two consumers — the signature agg and
+    # the verify stage's candidate semi-join — so cache them once.
+    # MEMORY_AND_DISK of 16-byte rows is fine at fixture scale; at 100 TB
+    # you'd re-derive instead (the verify stage's semi-join already
+    # restricts to candidate ids before its own cache, dedup.py).
+    sh = char_shingles(d, "doc_id", "text", k=5).persist(StorageLevel.MEMORY_AND_DISK)
     # the signature table is tiny (docs x 48 longs) but feeds THREE plan
     # branches (band join + both sides of the estimate prune); persisting
     # it avoids recomputing the shingle scan + 48-min agg per branch
     # (11.3s -> 4.1s at sf0.1)
     sig = minhash_signatures(sh, num_hashes=48).persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_lsh_pairs(sig, bands=16)
-    pruned = signature_verify(cand, sig, threshold=0.35).select("id_a", "id_b")
+    pruned = signature_verify(cand, sig, threshold=0.45).select("id_a", "id_b")
     return jaccard_verify(pruned, sh, threshold_frac=(4, 5))
 
 
@@ -1035,12 +1042,56 @@ def simhash_neardup_pairs_q(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     d = _t(spark, sf_dir, "documents")
-    sh = char_shingles(d, "doc_id", "text", k=5)
+    # cached for the same two consumers as in minhash_neardup_pairs_q
+    sh = char_shingles(d, "doc_id", "text", k=5).persist(StorageLevel.MEMORY_AND_DISK)
     # docs x 1 long — persisted because the chunk self-join reads it on
     # both sides (same rationale as the minhash signature cache)
     sims = simhash_from_hashes(sh.withColumnRenamed("sh", "th")).persist(StorageLevel.MEMORY_AND_DISK)
     close = simhash_candidates(sims, chunks=11, max_hamming=16).select("id_a", "id_b")
     return jaccard_verify(close, sh, threshold_frac=(4, 5))
+
+
+@_q(
+    "neardup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_CHAR5_JACCARD_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT a AS node, b AS peer FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a
+    )
+    SELECT node AS doc_id,
+           least(node, MIN(peer)) AS cluster_id,
+           node = least(node, MIN(peer)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def neardup_clusters_q(spark, sf_dir):
+    """Near-dup CLUSTERS — the dedup step after pair finding: connected
+    components over the exact >= 0.8 Jaccard pair graph (same pair set
+    as minhash_neardup_pairs), component id = min doc id, one canonical
+    survivor flagged per cluster. Spark side: iterative min-label
+    propagation to a fixpoint (operators/dedup.py::connected_components
+    — O(component diameter) rounds, one shuffle per round); oracle:
+    recursive-CTE reachability over the same pairs. This is the
+    operator a 100-TB corpus dedup actually ends with — keep
+    is_canonical, drop the rest."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.dedup import neardup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "doc_id", "text", k=5).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(sh, num_hashes=48).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = minhash_lsh_pairs(sig, bands=16)
+    pruned = signature_verify(cand, sig, threshold=0.45).select("id_a", "id_b")
+    pairs = jaccard_verify(pruned, sh, threshold_frac=(4, 5)).select("id_a", "id_b")
+    return neardup_clusters(pairs)
 
 
 # Integer-entry hyperplanes: dot products are exactly representable in

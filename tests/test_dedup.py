@@ -87,6 +87,78 @@ def test_simhash_near_pairs(spark, docs):
     _ = collections
 
 
+def test_generated_corpus_planted_recall(spark):
+    """corpus.gen_documents plants ground-truth near-dup pairs; the
+    end-to-end minhash pipeline (same stages as the catalog query and
+    bench_sketch.py) must recover them all at 2k docs, find only
+    high-Jaccard pairs, and any extras must share a planted parent
+    (sibling dups are genuinely near-dups of each other)."""
+    from fec_cn_support_etl_spark.corpus import gen_documents, planted_pairs
+
+    corpus = gen_documents(spark, 2000).persist()
+    sh = D.char_shingles(corpus, "doc_id", "text", k=5)
+    sig = D.minhash_signatures(sh, 48).persist()
+    cand = D.minhash_lsh_pairs(sig, bands=16)
+    pruned = D.signature_verify(cand, sig, threshold=0.45).select("id_a", "id_b")
+    pairs = D.jaccard_verify(pruned, sh, threshold_frac=(4, 5)).persist()
+
+    planted = planted_pairs(corpus)
+    n_planted = planted.count()
+    assert n_planted == 200  # dup_fraction 0.1
+    recalled = pairs.join(planted, ["id_a", "id_b"], "left_semi").count()
+    assert recalled == n_planted, f"missed {n_planted - recalled} planted pairs"
+    assert pairs.filter(F.col("jaccard") < 0.8).count() == 0
+    # extras are sibling dups: both ids resolve to the same parent
+    parent_of = corpus.select(
+        "doc_id", F.coalesce("parent_id", "doc_id").alias("root")
+    )
+    extras = pairs.join(planted, ["id_a", "id_b"], "left_anti")
+    bad = (
+        extras.join(parent_of.withColumnRenamed("doc_id", "id_a").withColumnRenamed("root", "ra"), "id_a")
+        .join(parent_of.withColumnRenamed("doc_id", "id_b").withColumnRenamed("root", "rb"), "id_b")
+        .filter(F.col("ra") != F.col("rb"))
+        .count()
+    )
+    assert bad == 0
+    spark.catalog.clearCache()
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle-ish, pair, and a longer path all resolve to
+    min-id components; singleton-free (only ids appearing in pairs)."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (5, 6)] + [(i, i + 1) for i in range(30, 38)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 5: 5, 6: 5}
+    want.update({i: 30 for i in range(30, 39)})  # 9-node path needs multiple rounds
+    assert got == want
+
+
+def test_neardup_clusters_on_generated_corpus(spark):
+    """End-to-end dedup: pair finding + clustering on the planted
+    corpus. Every doc's cluster is its planted root, and each cluster
+    has exactly one canonical survivor."""
+    from fec_cn_support_etl_spark.corpus import gen_documents
+
+    corpus = gen_documents(spark, 1000).persist()
+    sh = D.char_shingles(corpus, "doc_id", "text", k=5)
+    sig = D.minhash_signatures(sh, 48).persist()
+    cand = D.minhash_lsh_pairs(sig, bands=16)
+    pruned = D.signature_verify(cand, sig, threshold=0.45).select("id_a", "id_b")
+    pairs = D.jaccard_verify(pruned, sh, threshold_frac=(4, 5)).select("id_a", "id_b")
+    clusters = D.neardup_clusters(pairs).persist()
+
+    joined = clusters.join(corpus, "doc_id").withColumn(
+        "root", F.coalesce("parent_id", "doc_id")
+    )
+    assert joined.filter(F.col("cluster_id") != F.col("root")).count() == 0
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon")
+    )
+    assert per_cluster.filter(F.col("n_canon") != 1).count() == 0
+    spark.catalog.clearCache()
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
