@@ -1094,6 +1094,24 @@ def neardup_clusters_q(spark, sf_dir):
     return neardup_clusters(pairs)
 
 
+@_q("stream_neardup_pairs", _CHAR5_JACCARD_SQL)
+def stream_neardup_pairs_q(spark, sf_dir):
+    """STREAMING incremental near-dup (streaming/neardup.py): documents
+    arrive as micro-batches; each batch's signatures LSH-join against
+    the accumulated store, so every pair is examined exactly once — in
+    the micro-batch of its later member — and emissions are idempotent
+    under re-delivery (per-batch overwrite). Signatures, band hashes,
+    prune, and exact verify are per-doc deterministic, so the union of
+    emissions is bit-identical to the batch pipeline and the SAME
+    brute-force Jaccard oracle applies."""
+    import tempfile
+
+    from ..streaming.neardup import stream_neardup_pairs
+
+    work = tempfile.mkdtemp(prefix="stream-neardup-")
+    return stream_neardup_pairs(spark, f"{sf_dir}/documents.parquet", work)
+
+
 # Integer-entry hyperplanes: dot products are exactly representable in
 # IEEE double (see operators/similarity.py), so the DuckDB oracle below
 # computes bit-identical buckets from the same literals.

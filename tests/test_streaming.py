@@ -85,3 +85,42 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert got == [1, 2, 3]
     batch_distinct = spark.read.parquet(str(d)).dropDuplicates(["event_id"]).count()
     assert len(got) == batch_distinct
+
+
+def test_stream_neardup_matches_batch_pipeline(spark, tmp_path):
+    """Incremental near-dup over 8 micro-batches == the batch pipeline's
+    exact pair set on the same corpus (signatures/band hashes/prune/
+    verify are per-doc deterministic, so the union of per-batch
+    emissions must be bit-identical); re-running the finished stream is
+    a no-op (checkpoint + per-batch overwrite idempotence)."""
+    from pyspark.sql import functions as F
+
+    from fec_cn_support_etl_spark.corpus import gen_documents
+    from fec_cn_support_etl_spark.operators import dedup as D
+    from fec_cn_support_etl_spark.streaming.neardup import stream_neardup_pairs
+
+    docs_dir = str(tmp_path / "docs")
+    gen_documents(spark, 1500).repartition(8).write.parquet(docs_dir)
+
+    # batch reference (same stages as the minhash catalog query)
+    corpus = spark.read.parquet(docs_dir)
+    sh = D.char_shingles(corpus, "doc_id", "text", k=5)
+    sig = D.minhash_signatures(sh, 48).persist()
+    pruned = D.signature_verify(D.minhash_lsh_pairs(sig, bands=16), sig, threshold=0.45).select("id_a", "id_b")
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.jaccard_verify(pruned, sh, threshold_frac=(4, 5)).collect()
+    }
+    spark.catalog.clearCache()
+
+    work = str(tmp_path / "work")
+    got_df = stream_neardup_pairs(spark, docs_dir, work, max_files_per_trigger=1)
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in got_df.collect()}
+    assert got == want and len(want) > 0
+    # each pair emitted exactly once across batches
+    assert got_df.count() == got_df.select("id_a", "id_b").distinct().count()
+
+    # restart: no new files -> no new emissions, same result
+    again = stream_neardup_pairs(spark, docs_dir, work, max_files_per_trigger=1)
+    assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in again.collect()} == want
+    _ = F
