@@ -164,3 +164,26 @@ def test_size_based_broadcast_still_kicks_in(spark, name):
     hint removal trades nothing away at test scale."""
     p = plan(spark, name)
     assert "BroadcastHashJoin" in p
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    """Q19's OR-of-ANDs spans both join sides; Catalyst must still
+    extract the deducible per-side disjunctions and push them into the
+    parquet scans (PushExtraPredicateThroughJoin) — at 100 TB this is
+    the difference between scanning the filtered slivers and shipping
+    both full tables into the join."""
+    p = plan(spark, "q19_disjunctive_revenue")
+    scans = p.split("Scan parquet")[1:]
+    li_scan = next(s for s in scans if "lineitem.parquet" in s)
+    part_scan = next(s for s in scans if "part.parquet" in s)
+    li_pushed = li_scan.split("PushedFilters:")[1].splitlines()[0]
+    part_pushed = part_scan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_quantity" in li_pushed and "Or(" in li_pushed
+    assert "p_brand" in part_pushed and "Or(" in part_pushed
+
+
+def test_q10_topk_no_global_sort(spark):
+    """The ORDER BY ... LIMIT 20 must compile to TakeOrderedAndProject
+    (per-partition heap + driver merge), not a full global Sort."""
+    p = plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in p
