@@ -36,7 +36,8 @@ from ..operators.dedup import (
     simhash_candidates,
     simhash_from_hashes,
 )
-from ..operators.joins import semi_filter
+from ..operators.joins import asof_join, binned_range_join, semi_filter
+from ..operators.sampling import mix_sources, stratified_sample
 from ..operators.similarity import brute_force_topk, int_centroids, int_planes, ivf_topk, lsh_bucketed_topk
 from ..operators.text import doc_fingerprints, lang_id, quality_score, token_count, bpe_ish_token_estimate
 from ..operators.windows import lww_latest, top1_per_group, topk_per_group
@@ -1444,3 +1445,117 @@ def doc_fingerprints_q(spark, sf_dir):
     return doc_fingerprints(d, "doc_id", "text", hash_fn="md5").select(
         F.col("id").alias("doc_id"), "fingerprint"
     )
+
+
+# ============================= temporal joins + deterministic sampling
+
+
+@_q(
+    "asof_join_last_purchase",
+    """
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
+           COALESCE(r.value, -1.0) AS last_purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_last_purchase(spark, sf_dir):
+    """As-of join (operator Spark lacks natively): every click picks the
+    user's most recent purchase at-or-before it. Implemented as the
+    union+window composition in operators/joins.py::asof_join — one
+    shuffle on user_id, no interval explosion, no Python — and oracled
+    against DuckDB's native ASOF LEFT JOIN. (user_id, ts) is unique in
+    the events table, so tie-handling never diverges between engines."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join(clicks, purchases, key="user_id", ts="ts", payload=["last_purchase_value"]).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("matched_ts"),
+        F.coalesce("last_purchase_value", F.lit(-1.0)).alias("last_purchase_value"),
+    )
+
+
+@_q(
+    "range_join_error_windows",
+    """
+    SELECT e.event_id, COUNT(*) AS n_clicks
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.event_id
+    """,
+)
+def range_join_error_windows(spark, sf_dir):
+    """Interval-containment join: clicks by the same user within 10
+    minutes after each error, counted per error. The scale path is
+    operators/joins.py::binned_range_join — intervals explode to their
+    overlapping 600s bins and the join becomes EQUI on (user_id, bin)
+    with the BETWEEN as residual, so Spark never plans the cross
+    product its native non-equi join would. The oracle is the naive
+    BETWEEN join, which DuckDB evaluates exactly at this scale."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    intervals = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+        )
+    )
+    joined = binned_range_join(probe, intervals, key="user_id", ts="ts", start="w_start", end="w_end", bin_sec=600)
+    return joined.groupBy("event_id").agg(F.count("*").alias("n_clicks"))
+
+
+@_q(
+    "stratified_sample_mix",
+    """
+    SELECT event_id, event_type, value FROM events
+    WHERE (event_type = 'view'  AND substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '1999')
+       OR (event_type = 'click' AND substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '8000')
+       OR (event_type = 'error')
+    """,
+)
+def stratified_sample_mix(spark, sf_dir):
+    """Deterministic stratified downsample (training-mix recipe): views
+    at 10%, clicks at 50%, errors at 100%, everything else dropped.
+    The keep set is a pure function of event_id (md5-bucket threshold),
+    so it is identical across engines, partitionings, retries, and
+    cluster sizes — df.sample's per-partition RNG guarantees none of
+    that. Thresholds: 0.1*65536=6553=0x1999, 0.5*65536=0x8000; fixed-
+    width lowercase hex compares lexicographically == numerically."""
+    ev = _t(spark, sf_dir, "events")
+    return stratified_sample(
+        ev, "event_type", {"view": 0.1, "click": 0.5, "error": 1.0}, id_cols=["event_id"]
+    ).select("event_id", "event_type", "value")
+
+
+@_q(
+    "mix_sources_weighted",
+    """
+    SELECT event_id, 0 AS source_id FROM events
+    WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, 1 AS source_id FROM events
+    WHERE event_type = 'view' AND substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '4000'
+    """,
+)
+def mix_sources_weighted(spark, sf_dir):
+    """Weighted corpus mixing: 100% of source 0 (purchases standing in
+    for 'curated') + 25% of source 1 (views standing in for 'crawl'),
+    each row tagged with its source index. Same deterministic
+    hash-threshold core as stratified_sample_mix."""
+    ev = _t(spark, sf_dir, "events")
+    s0 = ev.filter(F.col("event_type") == "purchase")
+    s1 = ev.filter(F.col("event_type") == "view")
+    return mix_sources([(s0, 1.0), (s1, 0.25)], id_cols=["event_id"]).select("event_id", "source_id")

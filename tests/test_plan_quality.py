@@ -187,3 +187,24 @@ def test_q10_topk_no_global_sort(spark):
     (per-partition heap + driver merge), not a full global Sort."""
     p = plan(spark, "q10_returned_items")
     assert "TakeOrderedAndProject" in p
+
+
+def test_asof_join_single_shuffle_no_python(spark):
+    """The as-of composition must cost ONE hash shuffle on the key (the
+    window), like a sort-merge join — and never a range/cross join or
+    Python eval."""
+    p = plan(spark, "asof_join_last_purchase")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_range_join_is_equi_not_cross(spark):
+    """The binned range join must plan as an EQUI join on (key, bin) —
+    Spark's native plan for a non-equi interval condition is a
+    nested-loop cross product, which is the scale-killer this operator
+    exists to avoid."""
+    p = plan(spark, "range_join_error_windows")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # a real equi join (BHJ or SMJ) survived
