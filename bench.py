@@ -96,10 +96,17 @@ def cdc_bench(spark, events: int, epochs: int) -> dict:
             wal,
         )
         summary = runner.replay(spark, wal, os.path.join(work, "lake"), n_buckets=64, log=lambda *_: None)
+        # merge-on-read mode over the SAME wal: O(batch) delta-append
+        # commits instead of O(touched state) bucket rewrites
+        mor = runner.replay(
+            spark, wal, os.path.join(work, "lake-mor"), n_buckets=64, mode="mor", log=lambda *_: None
+        )
         return {
             "events": summary["events"],
             "wall_sec": round(summary["wall_sec"], 2),
             "events_per_sec": round(summary["events_per_sec"], 1),
+            "mor_wall_sec": round(mor["wall_sec"], 2),
+            "mor_events_per_sec": round(mor["events_per_sec"], 1),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

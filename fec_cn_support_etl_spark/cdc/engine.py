@@ -187,16 +187,23 @@ def apply_epoch(
     n_salts: int = 0,
     use_pandas_udf: bool = True,
     metrics_dir: str | None = None,
+    mode: str = "cow",
 ) -> ApplyResult:
     """Apply one epoch of change events. Idempotent by manifest check.
 
     ``n_salts=0`` (default) relies on algebraic partial aggregation for
     skew; ``n_salts>0`` adds explicit two-phase salting (see lww_dedup).
+
+    ``mode="cow"`` rewrites touched buckets (read amplification 0,
+    write cost O(touched state)); ``mode="mor"`` appends the winners as
+    delta files (write cost O(batch), reads resolve LWW over
+    base+deltas until ``table.compact()`` folds them) — pick by
+    workload, exactly like Iceberg's write.update.mode.
     """
     prep = prepare_epoch(spark, table, batch, epoch, n_salts=n_salts, use_pandas_udf=use_pandas_udf)
     if prep is None:
         return ApplyResult(epoch=str(epoch), skipped=True)
-    return commit_epoch(spark, table, prep, metrics_dir=metrics_dir)
+    return commit_epoch(spark, table, prep, metrics_dir=metrics_dir, mode=mode)
 
 
 def commit_epoch(
@@ -204,6 +211,7 @@ def commit_epoch(
     table: LakeTable,
     prep: PreparedEpoch,
     metrics_dir: str | None = None,
+    mode: str = "cow",
 ) -> ApplyResult:
     """The serialized half: conditional-LWW merge against table state +
     atomic snapshot commit. The runner keeps epoch-commit order in one
@@ -223,7 +231,8 @@ def commit_epoch(
                 # the competing writer applied our epoch — manifest no-op
                 return ApplyResult(epoch=epoch, skipped=True)
             try:
-                new_snap, lineage = _merge_and_commit(spark, table, snap, winners, stats, touched, epoch)
+                commit_fn = _append_and_commit if mode == "mor" else _merge_and_commit
+                new_snap, lineage = commit_fn(spark, table, snap, winners, stats, touched, epoch)
                 break
             except CommitConflict:
                 if attempt == 2:
@@ -316,6 +325,47 @@ def _merge_and_commit(spark, table, snap, winners, stats, touched, epoch):
     }
     return (
         table.commit_merge(new_state, touched, epoch, new_schema=target_schema, lineage=lineage, base_snap=snap),
+        lineage,
+    )
+
+
+def _append_and_commit(spark, table, snap, winners, stats, touched, epoch):
+    """One merge-on-read attempt: conform the epoch's winners to the
+    reconciled schema and APPEND them as bucket-partitioned delta files
+    — zero table-state reads, commit cost O(batch). The read-time LWW
+    (table.resolve_lww over base+deltas by (lsn, commit)) computes the
+    exact same final image as the COW union+max_by in _merge_and_commit,
+    just lazily; test_mor pins digest equality between the two modes."""
+    from pyspark.sql import types as T
+
+    from .table import DELETED_COL, _conform
+
+    batch_payload_schema = T.StructType(
+        [f for f in winners.schema.fields if f.name not in (BUCKET_COL, *META_COLS)]
+        + [T.StructField(DELETED_COL, T.BooleanType())]
+    )
+    target_schema, _changed = reconcile(table.schema(snap), batch_payload_schema)
+    lineage = {
+        "n_events": int(stats["n_keys"]),
+        "n_keys": int(stats["n_keys"]),
+        "n_deletes": int(stats["n_deletes"] or 0),
+        "min_lsn": int(stats["min_lsn"]) if stats["min_lsn"] is not None else None,
+        "max_lsn": int(stats["max_lsn"]) if stats["max_lsn"] is not None else None,
+        "touched_buckets": len(touched),
+        "mode": "mor",
+    }
+    if not touched:
+        return table.commit_append_delta(None, [], epoch, lineage=lineage, base_snap=snap), lineage
+    batch_rows = _conform(
+        winners.drop(BUCKET_COL, "epoch").withColumn(DELETED_COL, F.col("op") == "D").drop("op"),
+        target_schema,
+    ).withColumn(BUCKET_COL, bucket_expr(KEYS, snap.n_buckets))
+    n_write = max(1, min(len(touched), spark.sparkContext.defaultParallelism * 2))
+    batch_rows = batch_rows.repartition(n_write, F.col(BUCKET_COL))
+    return (
+        table.commit_append_delta(
+            batch_rows, touched, epoch, new_schema=target_schema, lineage=lineage, base_snap=snap
+        ),
         lineage,
     )
 

@@ -80,7 +80,12 @@ def list_epochs(wal_dir: str) -> list[int]:
 def open_or_create(spark: SparkSession, table_dir: str, n_buckets: int) -> LakeTable:
     if LakeTable.exists(table_dir):
         return LakeTable(spark, table_dir)
-    return LakeTable.create(spark, table_dir, TABLE_SCHEMA, key_cols=["repo", "path"], n_buckets=n_buckets)
+    # order_cols enables merge-on-read commits; harmless for COW (reads
+    # only resolve when a bucket actually holds delta files)
+    return LakeTable.create(
+        spark, table_dir, TABLE_SCHEMA, key_cols=["repo", "path"], n_buckets=n_buckets,
+        order_cols=["lsn", "commit"],
+    )
 
 
 def replay(
@@ -94,6 +99,9 @@ def replay(
     stop_after: int | None = None,
     pipelined: bool = True,
     vacuum_every: int | None = None,
+    mode: str = "cow",
+    compact_every: int | None = None,
+    max_delta_files: int = 1,
     log=print,
 ) -> dict:
     """Apply every pending epoch; returns summary incl. events/sec.
@@ -108,6 +116,12 @@ def replay(
     latest snapshot) after every N applied epochs — bounds superseded
     snapshot/data accumulation on long replays; time-travel reads of
     vacuumed versions stop working, by design.
+
+    ``mode="mor"`` commits each epoch as appended delta files (O(batch)
+    commit; reads LWW-resolve base+deltas); ``compact_every=N`` folds
+    buckets holding more than ``max_delta_files`` files back into one
+    base file every N applied epochs, bounding read amplification —
+    Iceberg's write.update.mode=merge-on-read + scheduled rewrite_data_files.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -135,13 +149,17 @@ def replay(
         if prep is None:
             log(f"epoch {ep}: already applied (manifest no-op)")
             return
-        res = commit_epoch(spark, table, prep, metrics_dir=metrics_dir)
+        res = commit_epoch(spark, table, prep, metrics_dir=metrics_dir, mode=mode)
         applied += 1
         total_events += n
         log(
             f"epoch {ep}: {n} events -> {res.n_upserts} upserts / {res.n_deletes} deletes, "
             f"{res.touched_buckets} buckets, {res.apply_sec:.2f}s, snapshot v{res.snapshot}"
         )
+        if compact_every and applied % compact_every == 0:
+            csnap = table.compact(max_files=max_delta_files)
+            if csnap is not None:
+                log(f"compact after epoch {ep}: snapshot v{csnap.version}")
         if vacuum_every and applied % vacuum_every == 0:
             removed = table.vacuum(keep_last=1)
             log(f"vacuum after epoch {ep}: {removed} superseded data dirs removed")
@@ -179,6 +197,9 @@ def main(argv=None):
     p.add_argument("--stop-after", type=int, default=None, help="apply at most N epochs (crash/resume testing)")
     p.add_argument("--warmup", action="store_true", help="run a small throwaway replay first (JVM/codegen warmup)")
     p.add_argument("--vacuum-every", type=int, default=None, help="vacuum superseded snapshots every N applied epochs")
+    p.add_argument("--mode", choices=["cow", "mor"], default="cow", help="copy-on-write bucket rewrite vs merge-on-read delta append")
+    p.add_argument("--compact-every", type=int, default=None, help="fold MOR delta files into base every N applied epochs")
+    p.add_argument("--max-delta-files", type=int, default=1, help="compaction threshold: rewrite buckets holding more than this many files")
     a = p.parse_args(argv)
     spark = get_spark(app_name="cdc-replay", master=a.master)
     if a.warmup:
@@ -199,6 +220,9 @@ def main(argv=None):
         metrics_dir=a.metrics,
         stop_after=a.stop_after,
         vacuum_every=a.vacuum_every,
+        mode=a.mode,
+        compact_every=a.compact_every,
+        max_delta_files=a.max_delta_files,
     )
     print(json.dumps(summary))  # machine-readable: bench parses with json.loads
     return 0

@@ -71,11 +71,27 @@ class Snapshot:
     version: int
     schema_json: dict[str, str]  # schema_id -> StructType json string
     current_schema_id: str
-    buckets: dict[str, list[dict]]  # bucket -> [{path, schema_id}]
+    buckets: dict[str, list[dict]]  # bucket -> [base file(s) + delta files]
     applied: dict[str, dict]  # epoch -> {snapshot, partitions, ts}
     key_cols: list[str]
     n_buckets: int
     props: dict = field(default_factory=dict)
+    # LWW resolution order for merge-on-read buckets (a bucket with >1
+    # file entry is base + appended deltas; reads resolve per-key by
+    # max(order_cols)). Empty = pure-COW table, no read-time merge.
+    order_cols: list[str] = field(default_factory=list)
+
+    def current_schema_json(self) -> str:
+        return self.schema_json[self.current_schema_id]
+
+
+def resolve_lww(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """One image per key: max_by(row, order) — the same algebraic
+    (partial-agg, skew-immune) collapse the engine uses for batch dedup,
+    applied at read time over base+delta files."""
+    row = F.struct(*[F.col(c) for c in df.columns])
+    ord_s = F.struct(*[F.col(c) for c in order_cols])
+    return df.groupBy(*keys).agg(F.max_by(row, ord_s).alias("r")).select("r.*")
 
 
 class LakeTable:
@@ -94,6 +110,7 @@ class LakeTable:
         schema: T.StructType,
         key_cols: list[str],
         n_buckets: int = 64,
+        order_cols: list[str] | None = None,
     ) -> "LakeTable":
         t = cls(spark, root)
         os.makedirs(t._snap_dir, exist_ok=True)
@@ -106,6 +123,7 @@ class LakeTable:
             applied={},
             key_cols=list(key_cols),
             n_buckets=n_buckets,
+            order_cols=list(order_cols or []),
         )
         t._write_snapshot(snap)
         return t
@@ -181,9 +199,11 @@ class LakeTable:
         cur_schema = self.schema(snap)
         wanted = {str(b) for b in buckets} if buckets is not None else None
         by_schema: dict[str, list[str]] = {}
+        needs_merge = False
         for b, files in snap.buckets.items():
             if wanted is not None and b not in wanted:
                 continue
+            needs_merge = needs_merge or len(files) > 1
             for f in files:
                 by_schema.setdefault(f["schema_id"], []).append(f["path"])
         if not by_schema:
@@ -196,6 +216,11 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if needs_merge and snap.order_cols:
+            # merge-on-read: base + appended deltas may carry several
+            # images of a key; resolve LWW BEFORE tombstone hiding so a
+            # delete delta suppresses an older base upsert
+            out = resolve_lww(out, snap.key_cols, snap.order_cols)
         if not include_deleted and DELETED_COL in out.columns:
             out = out.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return out
@@ -259,9 +284,93 @@ class LakeTable:
             applied=applied,
             key_cols=snap.key_cols,
             n_buckets=snap.n_buckets,
+            props=snap.props,
+            order_cols=snap.order_cols,
         )
         self._write_snapshot(new_snap)
         return new_snap
+
+    def commit_append_delta(
+        self,
+        delta_rows: DataFrame,
+        touched_buckets: list[int],
+        epoch: str,
+        new_schema: T.StructType | None = None,
+        lineage: dict | None = None,
+        base_snap: Snapshot | None = None,
+        max_retries: int = 5,
+    ) -> Snapshot:
+        """Merge-on-read commit: APPEND the epoch's LWW winners as delta
+        files to their buckets — no table state is read and no existing
+        file is rewritten, so commit cost is O(batch), not O(touched
+        state). Reads resolve base+deltas per key by ``order_cols``
+        (Iceberg v2 MOR economics; ``compact`` folds deltas back into
+        the base to bound read amplification).
+
+        Requires ``order_cols`` on the table (read-time resolution).
+
+        Concurrency: appends COMMUTE, so a CommitConflict is rebased
+        internally — the already-written delta dir is re-attached to
+        the fresh snapshot and the CAS retried; the data job never
+        re-runs. The one case that cannot rebase blindly — the foreign
+        commit changed the current schema — re-raises for the caller to
+        re-reconcile (mirrors commit_merge's contract)."""
+        snap = base_snap or self.current_snapshot()
+        if not snap.order_cols:
+            raise ValueError("merge-on-read append requires order_cols on the table")
+        out_dir = os.path.join(self._data_dir, f"v{snap.version + 1}-{uuid.uuid4().hex[:8]}-delta")
+        if touched_buckets:
+            delta_rows.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out_dir)
+        base_schema_id, base_schema_json = snap.current_schema_id, snap.current_schema_json()
+        for _attempt in range(max_retries):
+            if str(epoch) in snap.applied:
+                return snap  # competing writer applied it; our dir is vacuumable orphan
+            if snap.current_schema_json() != base_schema_json:
+                raise CommitConflict(
+                    f"schema changed under append (base {base_schema_id}, now {snap.current_schema_id})"
+                )
+            version = snap.version + 1
+            schema_json = dict(snap.schema_json)
+            schema_id = snap.current_schema_id
+            if new_schema is not None and new_schema.json() != schema_json[schema_id]:
+                schema_id = f"s{len(schema_json)}"
+                schema_json[schema_id] = new_schema.json()
+            buckets = {b: list(files) for b, files in snap.buckets.items()}
+            for b in touched_buckets:
+                bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+                if os.path.isdir(bdir):
+                    buckets.setdefault(str(b), []).append({"path": bdir, "schema_id": schema_id})
+            applied = dict(snap.applied)
+            applied[str(epoch)] = {"snapshot": version, "ts": time.time(), **(lineage or {})}
+            try:
+                return self._publish(snap, version, schema_json, schema_id, buckets, applied)
+            except CommitConflict:
+                snap = self.current_snapshot()  # rebase: appends commute
+        raise CommitConflict(f"append for epoch {epoch} lost {max_retries} races")
+
+    def compact(self, max_files: int = 1, buckets: list[int] | None = None) -> Snapshot | None:
+        """Fold delta files back into one base file per bucket: rewrite
+        every bucket holding more than ``max_files`` entries with its
+        LWW-resolved state (tombstones kept — they still defend against
+        late arrivals until purge_tombstones). Returns the new snapshot,
+        or None when nothing qualifies. Scheduled like vacuum (the
+        runner's --compact-every); read amplification between runs is
+        bounded by epochs-since-compaction."""
+        snap = self.current_snapshot()
+        cand = [
+            int(b)
+            for b, files in snap.buckets.items()
+            if len(files) > max_files and (buckets is None or int(b) in set(buckets))
+        ]
+        if not cand:
+            return None
+        resolved = (
+            self.read(snap, buckets=cand, include_deleted=True)
+            .withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
+        )
+        n_write = max(1, min(len(cand), self.spark.sparkContext.defaultParallelism * 2))
+        resolved = resolved.repartition(n_write, F.col(BUCKET_COL))
+        return self.commit_merge(resolved, cand, epoch=f"compact-{snap.version}", base_snap=snap)
 
     # ------------------------------------------------------- maintenance
     def purge_tombstones(self, below_lsn: int) -> Snapshot:

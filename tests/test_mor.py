@@ -1,0 +1,191 @@
+"""Merge-on-read mode: delta-append commits must produce bit-identical
+table state to copy-on-write, under replay, compaction, schema
+evolution, out-of-order delivery, and racing writers."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fec_cn_support_etl_spark.cdc import runner
+from fec_cn_support_etl_spark.cdc.table import CommitConflict, LakeTable, Snapshot
+
+from test_cdc import EPOCHS, pandas_oracle, state_digest, table_state, wal  # noqa: F401
+
+
+def _replay(spark, wal_dir, table_dir, **kw):
+    return runner.replay(spark, wal_dir, table_dir, n_buckets=8, log=lambda *_: None, **kw)
+
+
+def test_mor_matches_cow_and_pandas_oracle(spark, wal, tmp_path):
+    cow = str(tmp_path / "cow")
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, cow, mode="cow")
+    _replay(spark, wal, mor, mode="mor")
+    d_cow, d_mor = state_digest(table_state(spark, cow)), state_digest(table_state(spark, mor))
+    assert d_mor == d_cow
+    want = pandas_oracle(wal, list(range(EPOCHS)))
+    got = table_state(spark, mor)
+    assert state_digest(got) == state_digest(want[got.columns])
+    # MOR really appended: some bucket holds >1 file before compaction
+    snap = LakeTable(spark, mor).current_snapshot()
+    assert any(len(files) > 1 for files in snap.buckets.values())
+
+
+def test_mor_compaction_preserves_state_and_folds_files(spark, wal, tmp_path):
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor")
+    t = LakeTable(spark, mor)
+    before = state_digest(table_state(spark, mor))
+    snap = t.compact(max_files=1)
+    assert snap is not None
+    assert all(len(files) == 1 for files in snap.buckets.values())
+    assert state_digest(table_state(spark, mor)) == before
+    # nothing left to compact -> no-op
+    assert t.compact(max_files=1) is None
+    # post-compaction merges still work (append on top of new base)
+    assert state_digest(table_state(spark, mor)) == before
+
+
+def test_mor_scheduled_compaction_during_replay(spark, wal, tmp_path):
+    a = str(tmp_path / "plain")
+    b = str(tmp_path / "compacting")
+    _replay(spark, wal, a, mode="mor")
+    _replay(spark, wal, b, mode="mor", compact_every=2, max_delta_files=1)
+    assert state_digest(table_state(spark, a)) == state_digest(table_state(spark, b))
+    # scheduled compaction bounded the per-bucket file count
+    worst = max(len(f) for f in LakeTable(spark, b).current_snapshot().buckets.values())
+    assert worst <= 3  # <= max_delta_files + epochs between compactions
+
+
+def test_mor_duplicate_delivery_noop(spark, wal, tmp_path):
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor")
+    v1 = LakeTable(spark, mor).current_snapshot().version
+    d1 = state_digest(table_state(spark, mor))
+    again = _replay(spark, wal, mor, mode="mor")
+    assert again["epochs_applied"] == 0
+    assert LakeTable(spark, mor).current_snapshot().version == v1
+    assert state_digest(table_state(spark, mor)) == d1
+
+
+def test_mor_out_of_order_epochs_converge(spark, wal, tmp_path):
+    from fec_cn_support_etl_spark.cdc.engine import apply_epoch
+
+    fwd = str(tmp_path / "fwd")
+    rev = str(tmp_path / "rev")
+    _replay(spark, wal, fwd, mode="mor")
+    t = runner.open_or_create(spark, rev, n_buckets=8)
+    for ep in reversed(range(EPOCHS)):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={ep}"))
+        apply_epoch(spark, t, batch, str(ep), mode="mor")
+    assert state_digest(table_state(spark, rev)) == state_digest(table_state(spark, fwd))
+
+
+def test_mor_append_rebases_on_foreign_commit(spark, wal, tmp_path):
+    """A snapshot CAS lost to a foreign (non-conflicting) commit must
+    rebase the already-written delta dir instead of failing or
+    rewriting data — appends commute."""
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor", stop_after=2)
+    t = LakeTable(spark, mor)
+    base = t.current_snapshot()
+    digest_before = state_digest(table_state(spark, mor))
+
+    # foreign writer publishes version base+1 with an unrelated manifest entry
+    foreign_applied = dict(base.applied)
+    foreign_applied["foreign-epoch"] = {"snapshot": base.version + 1, "ts": 0.0}
+    t._write_snapshot(
+        Snapshot(
+            version=base.version + 1,
+            schema_json=base.schema_json,
+            current_schema_id=base.current_schema_id,
+            buckets=base.buckets,
+            applied=foreign_applied,
+            key_cols=base.key_cols,
+            n_buckets=base.n_buckets,
+            props=base.props,
+            order_cols=base.order_cols,
+        )
+    )
+    # our append derives from the STALE base -> CAS loses once -> rebases
+    summary = _replay(spark, wal, mor, mode="mor", stop_after=1)
+    assert summary["epochs_applied"] == 1
+    snap = t.current_snapshot()
+    assert snap.version == base.version + 2
+    assert "foreign-epoch" in snap.applied  # winner's commit survived
+    assert "2" in snap.applied
+    _ = digest_before
+    # full replay afterwards still converges with COW
+    _replay(spark, wal, mor, mode="mor")
+    cow = str(tmp_path / "cow")
+    _replay(spark, wal, cow, mode="cow")
+    assert state_digest(table_state(spark, mor)) == state_digest(table_state(spark, cow))
+
+
+def test_mor_schema_race_raises_for_rederive(spark, wal, tmp_path):
+    """If the foreign commit changed the CURRENT schema, blind rebase
+    would clobber the widened schema — commit_append_delta must raise
+    CommitConflict so the engine re-reconciles."""
+    import pyspark.sql.types as T
+
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor", stop_after=1)
+    t = LakeTable(spark, mor)
+    base = t.current_snapshot()
+    evolved = T.StructType(t.schema(base).fields + [T.StructField("extra", T.StringType())])
+    foreign = Snapshot(
+        version=base.version + 1,
+        schema_json={**base.schema_json, "s_f": evolved.json()},
+        current_schema_id="s_f",
+        buckets=base.buckets,
+        applied=dict(base.applied),
+        key_cols=base.key_cols,
+        n_buckets=base.n_buckets,
+        props=base.props,
+        order_cols=base.order_cols,
+    )
+    t._write_snapshot(foreign)
+    delta = t.read(base, include_deleted=True).limit(1).withColumn("__bucket", F.lit(0))
+    with pytest.raises(CommitConflict, match="schema changed"):
+        t.commit_append_delta(delta, [0], "race-epoch", base_snap=base, max_retries=2)
+
+
+def test_mor_schema_evolution_applies(spark, wal, tmp_path):
+    """The wal fixture evolves its schema at EVOLVE_AT; MOR replay must
+    carry the added column through delta files + read-time merge (the
+    cross-mode digest test already proves values; this pins the
+    column)."""
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor")
+    t = LakeTable(spark, mor)
+    assert "size_bytes" in t.schema().fieldNames()  # added at EVOLVE_AT (events.py)
+    cow = str(tmp_path / "cow")
+    _replay(spark, wal, cow, mode="cow")
+    assert sorted(t.schema().fieldNames()) == sorted(LakeTable(spark, cow).schema().fieldNames())
+
+
+def test_mor_time_travel_and_vacuum(spark, wal, tmp_path):
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor", stop_after=3)
+    t = LakeTable(spark, mor)
+    v3 = t.current_snapshot().version
+    d3 = state_digest(table_state(spark, mor))
+    _replay(spark, wal, mor, mode="mor")
+    old = (
+        t.read_version(v3)
+        .select("repo", "path", "commit", "lang", "content_sha", "lsn")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    assert state_digest(old) == d3
+    t.compact(max_files=1)
+    removed = t.vacuum(keep_last=1)
+    assert removed > 0  # superseded deltas + bases reclaimed
+    final = state_digest(table_state(spark, mor))
+    cow = str(tmp_path / "cow")
+    _replay(spark, wal, cow, mode="cow")
+    assert final == state_digest(table_state(spark, cow))
