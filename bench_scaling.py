@@ -36,7 +36,7 @@ spark.stop()
     subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
 
 
-def run_replay(wal: str, table: str, cores: int) -> dict:
+def run_replay(wal: str, table: str, cores: int, mode: str = "cow") -> dict:
     out = subprocess.run(
         [
             sys.executable,
@@ -47,6 +47,7 @@ def run_replay(wal: str, table: str, cores: int) -> dict:
             "--n-buckets", "64",
             "--master", f"local[{cores}]",
             "--warmup",
+            "--mode", mode,
         ],
         check=True,
         cwd=REPO,
@@ -90,6 +91,7 @@ def main():
     p.add_argument("--low", type=int, default=4)
     p.add_argument("--high", type=int, default=16)
     p.add_argument("--trials", type=int, default=2)
+    p.add_argument("--mode", choices=["cow", "mor"], default="cow")
     a = p.parse_args()
 
     work = tempfile.mkdtemp(prefix="cdc-scaling-")
@@ -103,14 +105,15 @@ def main():
             shutil.rmtree(os.path.join(work, "lake_low"), ignore_errors=True)
             shutil.rmtree(os.path.join(work, "lake_high"), ignore_errors=True)
             wait_for_quiet_host()
-            lows.append(run_replay(wal, os.path.join(work, "lake_low"), a.low))
+            lows.append(run_replay(wal, os.path.join(work, "lake_low"), a.low, mode=a.mode))
             wait_for_quiet_host()
-            highs.append(run_replay(wal, os.path.join(work, "lake_high"), a.high))
+            highs.append(run_replay(wal, os.path.join(work, "lake_high"), a.high, mode=a.mode))
         r_low = max(lows, key=lambda r: r["events_per_sec"])
         r_high = max(highs, key=lambda r: r["events_per_sec"])
         ratio = a.high / a.low
         eff = (r_high["events_per_sec"] / r_low["events_per_sec"]) / ratio
         result = {
+            "mode": a.mode,
             "events": a.events,
             "epochs": a.epochs,
             "trials": a.trials,

@@ -440,6 +440,7 @@ class LakeTable:
             key_cols=snap.key_cols,
             n_buckets=n_buckets,
             props=snap.props,
+            order_cols=snap.order_cols,
         )
         self._write_snapshot(new_snap)
         return new_snap

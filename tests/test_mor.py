@@ -189,3 +189,18 @@ def test_mor_time_travel_and_vacuum(spark, wal, tmp_path):
     cow = str(tmp_path / "cow")
     _replay(spark, wal, cow, mode="cow")
     assert final == state_digest(table_state(spark, cow))
+
+
+def test_rebucket_preserves_order_cols_for_future_mor(spark, wal, tmp_path):
+    """rebucket() must carry order_cols — dropping it would silently
+    disable read-time LWW for deltas appended after the rebucket."""
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor", stop_after=2)
+    t = LakeTable(spark, mor)
+    t.compact(max_files=1)
+    t.rebucket(16)
+    assert t.current_snapshot().order_cols == ["lsn", "commit"]
+    _replay(spark, wal, mor, mode="mor")  # appends on the rebucketed table
+    cow = str(tmp_path / "cow")
+    _replay(spark, wal, cow, mode="cow")
+    assert state_digest(table_state(spark, mor)) == state_digest(table_state(spark, cow))
