@@ -34,9 +34,16 @@ def stream_cdc_ingest(
     available_now: bool = True,
     n_salts: int = 0,
     use_pandas_udf: bool = True,
+    mode: str = "cow",
+    compact_every: int | None = None,
 ):
     """Tail the WAL dir as a stream; upsert each micro-batch. Returns
-    the StreamingQuery (caller awaits termination)."""
+    the StreamingQuery (caller awaits termination).
+
+    ``mode="mor"`` is the streaming sweet spot: micro-batches are small
+    relative to table state, so O(batch) delta appends (vs O(touched
+    state) rewrites) keep per-trigger latency flat as the table grows;
+    ``compact_every=N`` folds deltas every N micro-batches."""
     batch_schema = spark.read.parquet(wal_dir).schema
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -47,7 +54,10 @@ def stream_cdc_ingest(
             epoch=f"stream-{batch_id}",
             n_salts=n_salts,
             use_pandas_udf=use_pandas_udf,
+            mode=mode,
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            table.compact(max_files=1)
 
     reader = (
         spark.readStream.schema(batch_schema)

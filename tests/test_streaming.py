@@ -124,3 +124,22 @@ def test_stream_neardup_matches_batch_pipeline(spark, tmp_path):
     again = stream_neardup_pairs(spark, docs_dir, work, max_files_per_trigger=1)
     assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in again.collect()} == want
     _ = F
+
+
+def test_stream_mor_ingest_matches_batch(spark, wal, tmp_path):
+    """Streaming ingest in merge-on-read mode (the latency-critical
+    combination: O(batch) commit per trigger) + periodic compaction
+    converges to the same state as the batch COW replay."""
+    batch_dir = str(tmp_path / "batch")
+    runner.replay(spark, wal, batch_dir, n_buckets=8)
+
+    stream_dir = str(tmp_path / "stream-mor")
+    table = LakeTable.create(
+        spark, stream_dir, runner.TABLE_SCHEMA, key_cols=["repo", "path"], n_buckets=8,
+        order_cols=["lsn", "commit"],
+    )
+    q = stream_cdc_ingest(
+        spark, wal, table, str(tmp_path / "ckpt-mor"), mode="mor", compact_every=2
+    )
+    q.awaitTermination()
+    assert state_digest(table_state(spark, stream_dir)) == state_digest(table_state(spark, batch_dir))
