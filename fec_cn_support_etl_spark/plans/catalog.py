@@ -1559,3 +1559,75 @@ def mix_sources_weighted(spark, sf_dir):
     s0 = ev.filter(F.col("event_type") == "purchase")
     s1 = ev.filter(F.col("event_type") == "view")
     return mix_sources([(s0, 1.0), (s1, 0.25)], id_cols=["event_id"]).select("event_id", "source_id")
+
+
+@_q(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+          FROM lineitem WHERE l_orderkey < 200)
+    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Wide->long reshape (melt): Spark's native unpivot, which stays a
+    single narrow scan + generate (no shuffle, no Python) — the inverse
+    of the conditional pivot agg. Row identity is (orderkey,
+    linenumber, measure), so the unordered hash is stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+@_q(
+    "percentile_by_group",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_by_group(spark, sf_dir):
+    """Exact linearly-interpolated percentiles per group (Spark
+    ``percentile``, NOT approx_percentile — both engines implement the
+    same rank = p*(n-1) + linear interpolation definition, so the
+    doubles are bit-identical). Scale note: exact percentile sorts
+    within each group's partial state; for 100-TB fan-in you'd swap in
+    approx_percentile's t-digest and a tolerance check instead of an
+    exact oracle — documented tradeoff, both are one-shuffle plans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+    )
+
+
+@_q(
+    "json_extract_agg",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_agg(spark, sf_dir):
+    """Semi-structured column handling: per-row JSON field extraction
+    (JVM-side get_json_object — no Python, no schema inference job)
+    feeding a grouped aggregate. The integer payload keeps the sum
+    engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+        F.count("*").alias("n"),
+    )
