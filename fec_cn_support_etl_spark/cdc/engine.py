@@ -146,6 +146,7 @@ class PreparedEpoch:
     stats: object
     touched: list[int]
     t_start: float
+    bucket_stats: list = None  # per-bucket (partition) lineage rows
 
 
 def prepare_epoch(
@@ -169,14 +170,28 @@ def prepare_epoch(
     winners = enrich_content(winners, use_pandas_udf=use_pandas_udf)
     winners = winners.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
     winners.persist()
-    stats = winners.agg(
+    # One stats job, grouped by bucket: materializes the persist AND
+    # yields per-partition lineage (north rule: event ranges + row
+    # counts per partition) at <= n_buckets rows; epoch-level stats are
+    # folded driver-side for free.
+    bucket_stats = winners.groupBy(BUCKET_COL).agg(
         F.count("*").alias("n_keys"),
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
         F.min("lsn").alias("min_lsn"),
         F.max("lsn").alias("max_lsn"),
-        F.collect_set(BUCKET_COL).alias("buckets"),
-    ).collect()[0]
-    return PreparedEpoch(epoch=epoch, winners=winners, stats=stats, touched=sorted(stats["buckets"]), t_start=t0)
+    ).collect()
+    mins = [r["min_lsn"] for r in bucket_stats if r["min_lsn"] is not None]
+    maxs = [r["max_lsn"] for r in bucket_stats if r["max_lsn"] is not None]
+    stats = {
+        "n_keys": sum(r["n_keys"] for r in bucket_stats),
+        "n_deletes": sum(r["n_deletes"] or 0 for r in bucket_stats),
+        "min_lsn": min(mins) if mins else None,
+        "max_lsn": max(maxs) if maxs else None,
+    }
+    touched = sorted(r[BUCKET_COL] for r in bucket_stats)
+    return PreparedEpoch(
+        epoch=epoch, winners=winners, stats=stats, touched=touched, t_start=t0, bucket_stats=bucket_stats
+    )
 
 
 def apply_epoch(
@@ -256,7 +271,7 @@ def commit_epoch(
     if metrics_dir:
         from .metrics import write_epoch_metrics
 
-        write_epoch_metrics(spark, metrics_dir, res)
+        write_epoch_metrics(spark, metrics_dir, res, bucket_stats=prep.bucket_stats)
     return res
 
 

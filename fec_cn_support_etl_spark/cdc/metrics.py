@@ -24,7 +24,25 @@ METRICS_SCHEMA = T.StructType(
 )
 
 
-def write_epoch_metrics(spark: SparkSession, metrics_dir: str, res) -> None:
+# per-partition (hash bucket) lineage: event LSN ranges + row counts,
+# one row per (epoch, bucket) — the north rule's per-partition lineage.
+# Lives under ``<metrics_dir>/_buckets``: the underscore prefix makes
+# Hadoop's listing skip it, so reads of the epoch table at the root
+# never mix in bucket rows.
+BUCKET_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("n_keys", T.LongType()),
+        T.StructField("n_deletes", T.LongType()),
+        T.StructField("min_lsn", T.LongType()),
+        T.StructField("max_lsn", T.LongType()),
+        T.StructField("snapshot", T.LongType()),
+    ]
+)
+
+
+def write_epoch_metrics(spark: SparkSession, metrics_dir: str, res, bucket_stats=None) -> None:
     row = [
         (
             res.epoch,
@@ -40,7 +58,31 @@ def write_epoch_metrics(spark: SparkSession, metrics_dir: str, res) -> None:
         )
     ]
     spark.createDataFrame(row, METRICS_SCHEMA).coalesce(1).write.mode("append").parquet(metrics_dir)
+    if bucket_stats:
+        import os
+
+        brows = [
+            (
+                res.epoch,
+                int(r["__bucket"]),
+                int(r["n_keys"]),
+                int(r["n_deletes"] or 0),
+                int(r["min_lsn"]) if r["min_lsn"] is not None else None,
+                int(r["max_lsn"]) if r["max_lsn"] is not None else None,
+                res.snapshot,
+            )
+            for r in bucket_stats
+        ]
+        spark.createDataFrame(brows, BUCKET_METRICS_SCHEMA).coalesce(1).write.mode("append").parquet(
+            os.path.join(metrics_dir, "_buckets")
+        )
 
 
 def read_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
     return spark.read.schema(METRICS_SCHEMA).parquet(metrics_dir)
+
+
+def read_bucket_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
+    import os
+
+    return spark.read.schema(BUCKET_METRICS_SCHEMA).parquet(os.path.join(metrics_dir, "_buckets"))

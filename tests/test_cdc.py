@@ -385,3 +385,27 @@ def test_metrics_lineage(spark, wal, tmp_path):
     snap = LakeTable(spark, table_dir).current_snapshot()
     assert set(snap.applied.keys()) == {str(e) for e in range(EPOCHS)}
     assert all("max_lsn" in v for v in snap.applied.values())
+
+
+def test_bucket_level_lineage_metrics(spark, wal, tmp_path):
+    """Per-partition lineage (north rule): one row per (epoch, bucket)
+    with event LSN ranges + row counts, consistent with the epoch-level
+    rollup, and invisible to reads of the epoch table."""
+    from fec_cn_support_etl_spark.cdc.metrics import read_bucket_metrics, read_metrics
+
+    table_dir = str(tmp_path / "lake")
+    mdir = str(tmp_path / "metrics")
+    runner.replay(spark, wal, table_dir, n_buckets=16, metrics_dir=mdir)
+    ep = read_metrics(spark, mdir).toPandas()
+    assert len(ep) == EPOCHS  # _buckets subdir hidden from the root read
+    bk = read_bucket_metrics(spark, mdir).toPandas()
+    assert set(bk["epoch"]) == set(ep["epoch"])
+    agg = bk.groupby("epoch").agg(
+        n_keys=("n_keys", "sum"), n_buckets=("bucket", "nunique"),
+        min_lsn=("min_lsn", "min"), max_lsn=("max_lsn", "max"),
+    )
+    for _, row in ep.iterrows():
+        b = agg.loc[row["epoch"]]
+        assert b["n_keys"] == row["n_keys"]
+        assert b["n_buckets"] == row["touched_buckets"]
+        assert b["min_lsn"] == row["min_lsn"] and b["max_lsn"] == row["max_lsn"]
