@@ -1631,3 +1631,43 @@ def json_extract_agg(spark, sf_dir):
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
         F.count("*").alias("n"),
     )
+
+
+@_q(
+    "rolling_hour_window",
+    """
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS rolling_1h_value,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS rolling_1h_events
+    FROM events
+    """,
+)
+def rolling_hour_window(spark, sf_dir):
+    """Time-RANGE window frame (not a rows frame): per user, the
+    trailing-1-hour event count and value sum at every event. Spark
+    expresses interval range frames via rangeBetween over the epoch-
+    seconds ordering (-3600 preceding); the sum goes through exact
+    decimal so frame-order float accumulation can't diverge between
+    engines. One shuffle on user_id; the frame is evaluated with a
+    sliding aggregate inside the sorted partition — the standard
+    sessionless trailing-metrics shape for feature pipelines.
+    Ordering is epoch MICROseconds — second-truncated ordering silently
+    widens the frame for events a fraction over the horizon apart."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        money(F.sum(dec("value")).over(w)).alias("rolling_1h_value"),
+        F.count("*").over(w).alias("rolling_1h_events"),
+    )
