@@ -179,3 +179,89 @@ def test_exact_dedup_keeps_one_per_content(spark, texts):
         h = hashlib.sha256(t.encode()).hexdigest()
         first_ids.setdefault(h, (i, t))
     assert got == sorted(first_ids.values())
+
+
+# ----------------------------------------------------- asof / range join
+
+asof_strategy = st.tuples(
+    st.lists(  # probe: (key, ts_off)
+        st.tuples(st.integers(1, 3), st.integers(0, 5000)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(  # quotes: (key, ts_off, price)
+        st.tuples(st.integers(1, 3), st.integers(0, 5000), st.integers(1, 999)),
+        min_size=1, max_size=25,
+    ),
+)
+
+
+def py_asof(probe, quotes):
+    """Reference backward as-of: latest quote with same key, ts <= probe
+    ts (quotes unique per (key, ts): keep max price on collision so the
+    reference is deterministic like the operator input contract)."""
+    best = {}
+    for k, ts, p in quotes:
+        best[(k, ts)] = max(best.get((k, ts), -1), p)
+    out = []
+    for i, (k, ts) in enumerate(probe):
+        cands = [(qts, p) for (qk, qts), p in best.items() if qk == k and qts <= ts]
+        out.append((i, max(cands)[1] if cands else None))
+    return sorted(out)
+
+
+@given(asof_strategy)
+@SETTINGS
+def test_asof_join_matches_python_reference(spark, data):
+    from fec_cn_support_etl_spark.operators.joins import asof_join
+
+    probe, quotes = data
+    dedup_quotes = {}
+    for k, ts, p in quotes:
+        dedup_quotes[(k, ts)] = max(dedup_quotes.get((k, ts), -1), p)
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(probe)], "lid long, k int, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [(k, ts, float(p)) for (k, ts), p in dedup_quotes.items()], "k int, ts long, price double"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    got = sorted(
+        (r.lid, int(r.price) if r.price is not None else None)
+        for r in asof_join(left, right, key="k", ts="ts", payload=["price"]).collect()
+    )
+    assert got == py_asof(probe, quotes)
+
+
+range_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(1, 3), st.integers(0, 5000)), min_size=1, max_size=25),
+    st.lists(  # intervals: (key, start, length)
+        st.tuples(st.integers(1, 3), st.integers(0, 5000), st.integers(0, 1500)),
+        min_size=1, max_size=15,
+    ),
+    st.sampled_from([37, 600, 4000]),  # bin width exercises 1..many bins/interval
+)
+
+
+@given(range_strategy)
+@SETTINGS
+def test_range_join_matches_python_reference(spark, data):
+    from fec_cn_support_etl_spark.operators.joins import binned_range_join
+
+    probe, intervals, bin_sec = data
+    p_df = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(probe)], "pid long, k int, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    i_df = spark.createDataFrame(
+        [(j, k, s, s + ln) for j, (k, s, ln) in enumerate(intervals)],
+        "iid long, k int, start long, end long",
+    ).withColumn("start", F.timestamp_seconds("start")).withColumn("end", F.timestamp_seconds("end"))
+    got = sorted(
+        (r.iid, r.pid)
+        for r in binned_range_join(p_df, i_df, key="k", ts="ts", start="start", end="end", bin_sec=bin_sec).collect()
+    )
+    want = sorted(
+        (j, i)
+        for j, (ik, s, ln) in enumerate(intervals)
+        for i, (pk, ts) in enumerate(probe)
+        if pk == ik and s <= ts <= s + ln
+    )
+    assert got == want
