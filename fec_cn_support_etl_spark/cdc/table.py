@@ -198,29 +198,41 @@ class LakeTable:
         snap = snap or self.current_snapshot()
         cur_schema = self.schema(snap)
         wanted = {str(b) for b in buckets} if buckets is not None else None
-        by_schema: dict[str, list[str]] = {}
-        needs_merge = False
+        # merge-on-read split: only buckets holding delta files (>1
+        # entry) pay the read-time LWW shuffle; clean single-file
+        # buckets stream through untouched — one dirty bucket must not
+        # re-shuffle the whole table.
+        clean: dict[str, list[str]] = {}
+        dirty: dict[str, list[str]] = {}
         for b, files in snap.buckets.items():
             if wanted is not None and b not in wanted:
                 continue
-            needs_merge = needs_merge or len(files) > 1
+            target = dirty if (len(files) > 1 and snap.order_cols) else clean
             for f in files:
-                by_schema.setdefault(f["schema_id"], []).append(f["path"])
-        if not by_schema:
+                target.setdefault(f["schema_id"], []).append(f["path"])
+        if not clean and not dirty:
             return self.spark.createDataFrame([], cur_schema)
-        parts = []
-        for sid, paths in sorted(by_schema.items()):
-            s = T.StructType.fromJson(json.loads(snap.schema_json[sid]))
-            df = self.spark.read.schema(s).parquet(*paths)
-            parts.append(_conform(df, cur_schema))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        if needs_merge and snap.order_cols:
-            # merge-on-read: base + appended deltas may carry several
-            # images of a key; resolve LWW BEFORE tombstone hiding so a
-            # delete delta suppresses an older base upsert
-            out = resolve_lww(out, snap.key_cols, snap.order_cols)
+
+        def _union(by_schema):
+            parts = []
+            for sid, paths in sorted(by_schema.items()):
+                s = T.StructType.fromJson(json.loads(snap.schema_json[sid]))
+                df = self.spark.read.schema(s).parquet(*paths)
+                parts.append(_conform(df, cur_schema))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        out = None
+        if dirty:
+            # base + appended deltas may carry several images of a key;
+            # resolve LWW BEFORE tombstone hiding so a delete delta
+            # suppresses an older base upsert
+            out = resolve_lww(_union(dirty), snap.key_cols, snap.order_cols)
+        if clean:
+            cdf = _union(clean)
+            out = cdf if out is None else out.unionByName(cdf)
         if not include_deleted and DELETED_COL in out.columns:
             out = out.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return out

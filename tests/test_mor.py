@@ -204,3 +204,25 @@ def test_rebucket_preserves_order_cols_for_future_mor(spark, wal, tmp_path):
     cow = str(tmp_path / "cow")
     _replay(spark, wal, cow, mode="cow")
     assert state_digest(table_state(spark, mor)) == state_digest(table_state(spark, cow))
+
+
+def test_mor_read_resolves_only_dirty_buckets(spark, wal, tmp_path):
+    """Only buckets holding delta files pay the read-time LWW shuffle:
+    a clean bucket's rows must not pass through the resolve aggregate
+    (at 100 TB, one dirty bucket must not re-shuffle the whole table)."""
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor")
+    t = LakeTable(spark, mor)
+    t.compact(max_files=1)  # all clean now
+    snap = t.current_snapshot()
+    # append a delta to exactly one bucket
+    one = t.read(snap, include_deleted=True).limit(1).withColumn(
+        "__bucket", F.lit(int(sorted(snap.buckets)[0]))
+    ).withColumn("lsn", F.col("lsn") + 10_000_000)
+    t.commit_append_delta(one, [int(sorted(snap.buckets)[0])], "probe-delta", base_snap=snap)
+    plan = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    # exactly ONE aggregate (the dirty bucket's resolve), not a global one
+    assert plan.count("Aggregate") == 1
+    # and correctness: the bumped-lsn row wins in the read
+    got = table_state(spark, mor)
+    assert (got["lsn"] >= 10_000_000).sum() == 1
