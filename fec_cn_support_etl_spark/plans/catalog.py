@@ -1671,3 +1671,31 @@ def rolling_hour_window(spark, sf_dir):
         money(F.sum(dec("value")).over(w)).alias("rolling_1h_value"),
         F.count("*").over(w).alias("rolling_1h_events"),
     )
+
+
+@_q(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           p.value AS p_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts - INTERVAL 10 MINUTE
+     AND p.ts <= c.ts
+    """,
+)
+def stream_stream_join_q(spark, sf_dir):
+    """Structured Streaming stream-stream inner join (bounded state via
+    watermark + interval constraint), run to completion with
+    availableNow; complete output equals the batch interval join — the
+    oracle. Streaming twin of range_join_error_windows' shape."""
+    global _STREAM_SINK_N
+    _STREAM_SINK_N += 1
+    from ..streaming.pipeline import stream_stream_interval_join
+
+    return stream_stream_interval_join(
+        spark, f"{sf_dir}/events.parquet", sink_table=f"ss_join_{_STREAM_SINK_N}"
+    )

@@ -152,3 +152,61 @@ def windowed_event_agg(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def stream_stream_interval_join(
+    spark: SparkSession,
+    events_path: str,
+    sink_table: str = "ss_join",
+    lookback: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each click matches the same user's purchases in the trailing
+    ``lookback`` window. Both sides carry watermarks + the time-range
+    constraint, so Spark bounds the join state (purchases older than
+    click-watermark - lookback are evicted) — the canonical bounded-
+    state stream-stream join; run to completion via availableNow and
+    returned as a batch DataFrame for the oracle compare."""
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        reader = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .parquet(os.path.dirname(events_path))
+        )
+    else:
+        reader = spark.readStream.schema(schema).parquet(events_path)
+    stream = reader.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+        .withWatermark("p_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("p_ts") <= F.col("c_ts")),
+    )
+    q = (
+        joined.select(
+            "click_id",
+            F.col("c_user").alias("user_id"),
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+            "p_value",
+        )
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

@@ -143,3 +143,45 @@ def test_stream_mor_ingest_matches_batch(spark, wal, tmp_path):
     )
     q.awaitTermination()
     assert state_digest(table_state(spark, stream_dir)) == state_digest(table_state(spark, batch_dir))
+
+
+def test_stream_stream_join_across_microbatches(spark, tmp_path):
+    """Clicks and purchases arriving in DIFFERENT micro-batches must
+    still pair: the join state carries the purchase until the click's
+    batch arrives (and the watermark+interval constraint bounds that
+    state)."""
+    import pandas as pd
+
+    from fec_cn_support_etl_spark.streaming.pipeline import stream_stream_interval_join
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    # file 1: purchases only; file 2 (later batch): clicks 5 min after
+    pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.Series([base, base + pd.Timedelta(minutes=90)]).astype("datetime64[us]"),
+            "user_id": [7, 7],
+            "event_type": ["purchase", "purchase"],
+            "value": [10.0, 20.0],
+            "props": ["{}", "{}"],
+        }
+    ).to_parquet(d / "part-000.parquet")
+    pd.DataFrame(
+        {
+            "event_id": [3, 4],
+            "ts": pd.Series([base + pd.Timedelta(minutes=5), base + pd.Timedelta(minutes=95)]).astype("datetime64[us]"),
+            "user_id": [7, 7],
+            "event_type": ["click", "click"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+    ).to_parquet(d / "part-001.parquet")
+    spark.conf.set("spark.sql.streaming.fileSource.maxFilesPerTrigger", "1")
+    try:
+        out = stream_stream_interval_join(spark, str(d), sink_table="ss_join_mb").toPandas()
+    finally:
+        spark.conf.unset("spark.sql.streaming.fileSource.maxFilesPerTrigger")
+    got = sorted(zip(out.click_id, out.p_value))
+    assert got == [(3, 10.0), (4, 20.0)]  # each click pairs its trailing-10min purchase only
