@@ -1699,3 +1699,62 @@ def stream_stream_join_q(spark, sf_dir):
     return stream_stream_interval_join(
         spark, f"{sf_dir}/events.parquet", sink_table=f"ss_join_{_STREAM_SINK_N}"
     )
+
+
+@_q(
+    "curation_pipeline",
+    r"""
+    WITH feats AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars_calc,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS n_stop,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|das)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|de|que)\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '\b(le|la|et|les)\b')) AS s_fr
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, n_tokens,
+             (least(n_tokens / 50.0, 1.0)
+               + least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END * 5.0, 1.0)
+               + greatest(1.0 - CASE WHEN n_chars_calc > 0 THEN n_punct / n_chars_calc ELSE 0.0 END * 10.0, 0.0)) / 3.0 AS quality,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM feats
+    )
+    SELECT doc_id, n_tokens, quality
+    FROM scored
+    WHERE quality >= 0.5 AND lang_pred = 'en'
+      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY sha256(text))
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation as ONE lazy plan — the composition an
+    LLM-data user actually runs: quality score -> threshold, lang-ID ->
+    'en' only, exact dedup (sha256 canonical = min doc_id), 50%
+    deterministic hash sample, emit (doc_id, n_tokens, quality).
+    Catalyst fuses the per-doc scoring into a single scan projection;
+    the only shuffle is the dedup window on the content digest. Every
+    stage reuses the already-oracled operators, so the composed output
+    stays engine-exact."""
+    from ..operators.sampling import stratified_sample
+    from ..operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = lang_id(quality_score(d, "text"), "text")
+    filt = scored.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    sampled = stratified_sample(
+        filt.withColumn("__one", F.lit("x")), "__one", {"x": 0.5}, id_cols=["doc_id"]
+    )
+    w = Window.partitionBy(F.sha2("text", 256))
+    dedup = sampled.withColumn("__canon", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("__canon")
+    )
+    return dedup.select("doc_id", "n_tokens", "quality")
