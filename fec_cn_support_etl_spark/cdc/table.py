@@ -384,6 +384,79 @@ class LakeTable:
         resolved = resolved.repartition(n_write, F.col(BUCKET_COL))
         return self.commit_merge(resolved, cand, epoch=f"compact-{snap.version}", base_snap=snap)
 
+    # ---------------------------------------------------- change data feed
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change-data-feed read: every row image committed AFTER
+        ``from_version`` up to and including ``to_version`` (default:
+        current) — the incremental-consumer surface (Iceberg/Delta CDF):
+        downstream syncs read only what changed instead of diffing
+        snapshots.
+
+        Output: the table schema + ``_change_type`` ('upsert'|'delete')
+        + ``_commit_version``. Per commit in range:
+
+        - merge-on-read append: the delta files ARE the change set —
+          emitted by reference, zero compute;
+        - copy-on-write merge: the rewritten buckets are full states,
+          so the change set is ``new exceptAll old`` over the touched
+          buckets (deletes appear as tombstone images);
+        - compaction / purge / rebucket: state-preserving maintenance,
+          contributes nothing.
+
+        Requires the snapshots in range to still exist (``vacuum
+        keep_last`` must cover it — same retention contract as
+        time travel)."""
+        to_version = self.current_snapshot().version if to_version is None else to_version
+        out = None
+        empty_schema = None
+        for v in range(from_version + 1, to_version + 1):
+            prev, cur = self.snapshot_at(v - 1), self.snapshot_at(v)
+            empty_schema = self.schema(cur)
+            entry = next((e for e in cur.applied.values() if e.get("snapshot") == v), None)
+            epoch_name = next((k for k, e in cur.applied.items() if e.get("snapshot") == v), "")
+            if epoch_name.startswith(("compact-", "purge-", "rebucket-")):
+                continue
+            prev_paths = {f["path"] for fs in prev.buckets.values() for f in fs}
+            added: dict[str, list[str]] = {}
+            appended_buckets = []
+            for b, files in cur.buckets.items():
+                for f in files:
+                    if f["path"] not in prev_paths:
+                        added.setdefault(f["schema_id"], []).append(f["path"])
+                        appended_buckets.append(int(b))
+            if not added:
+                continue
+            cur_schema = self.schema(cur)
+            parts = []
+            for sid, paths in sorted(added.items()):
+                s = T.StructType.fromJson(json.loads(cur.schema_json[sid]))
+                parts.append(_conform(self.spark.read.schema(s).parquet(*paths), cur_schema))
+            new_rows = parts[0]
+            for p in parts[1:]:
+                new_rows = new_rows.unionByName(p)
+            if (entry or {}).get("mode") != "mor":
+                # COW rewrite: subtract the buckets' previous full state
+                old_rows = _conform(
+                    self.read(prev, buckets=sorted(set(appended_buckets)), include_deleted=True),
+                    cur_schema,
+                )
+                new_rows = new_rows.exceptAll(old_rows)
+            changes = new_rows.withColumn(
+                "_change_type",
+                F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("delete")).otherwise(
+                    F.lit("upsert")
+                ),
+            ).withColumn("_commit_version", F.lit(v).cast("long"))
+            out = changes if out is None else out.unionByName(changes)
+        if out is None:
+            base = empty_schema or self.schema()
+            schema = T.StructType(
+                [f for f in base.fields if f.name != DELETED_COL]
+                + [T.StructField("_change_type", T.StringType()), T.StructField("_commit_version", T.LongType())]
+            )
+            return self.spark.createDataFrame([], schema)
+        return out.drop(DELETED_COL)
+
     # ------------------------------------------------------- maintenance
     def purge_tombstones(self, below_lsn: int) -> Snapshot:
         """Rewrite every bucket containing tombstones with lsn <

@@ -226,3 +226,49 @@ def test_mor_read_resolves_only_dirty_buckets(spark, wal, tmp_path):
     # and correctness: the bumped-lsn row wins in the read
     got = table_state(spark, mor)
     assert (got["lsn"] >= 10_000_000).sum() == 1
+
+
+def test_change_data_feed_mor_and_cow(spark, wal, tmp_path):
+    """read_changes(v_a, v_b): a downstream consumer applying the feed
+    on top of snapshot v_a must reconstruct snapshot v_b exactly —
+    for MOR (delta-by-reference) AND COW (exceptAll diff) commits."""
+    for mode in ("mor", "cow"):
+        lake = str(tmp_path / mode)
+        _replay(spark, wal, lake, mode=mode, stop_after=3)
+        t = LakeTable(spark, lake)
+        v_a = t.current_snapshot().version
+        base = t.read_version(v_a).toPandas()
+        _replay(spark, wal, lake, mode=mode)  # epochs 3..5
+        v_b = t.current_snapshot().version
+        want = table_state(spark, lake)
+
+        ch = t.read_changes(v_a, v_b).toPandas()
+        assert set(ch["_change_type"]) <= {"upsert", "delete"}
+        assert ch["_commit_version"].between(v_a + 1, v_b).all()
+        # replay feed over the v_a image
+        state = {(r["repo"], r["path"]): r for r in base.to_dict("records")}
+        for r in ch.sort_values(["_commit_version", "lsn"]).to_dict("records"):
+            key = (r["repo"], r["path"])
+            if r["_change_type"] == "delete":
+                state.pop(key, None)
+            else:
+                state[key] = r
+        import pandas as pd
+
+        got = (
+            pd.DataFrame([{ "repo": k[0], "path": k[1], "commit": v["commit"], "lang": v["lang"],
+                            "content_sha": v["content_sha"], "lsn": v["lsn"] } for k, v in state.items()])
+            .sort_values(["repo", "path"]).reset_index(drop=True)
+        )
+        assert state_digest(got[want.columns]) == state_digest(want), f"mode={mode}"
+
+
+def test_change_feed_skips_maintenance_commits(spark, wal, tmp_path):
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor")
+    t = LakeTable(spark, mor)
+    v1 = t.current_snapshot().version
+    t.compact(max_files=1)
+    v2 = t.current_snapshot().version
+    assert v2 == v1 + 1
+    assert t.read_changes(v1, v2).count() == 0  # compaction changes nothing logically
