@@ -44,6 +44,15 @@ def top1_per_group(
 
 
 def topk_per_group(df: DataFrame, keys: Sequence[str], order: Sequence[Column | str], k: int) -> DataFrame:
+    """Top-k rows per key group under ``order``.
+
+    Skew note: the rank<=k filter compiles to WindowGroupLimit, which
+    Spark (3.5+) pushes BELOW the exchange — each map task pre-prunes
+    to its local top-k per key before shuffling, so a hot key ships at
+    most k x num_map_partitions rows instead of all of them (the
+    order-statistic analogue of partial aggregation; plan-asserted in
+    test_plan_quality.py::test_topk_prunes_map_side). No manual
+    salting needed."""
     w = Window.partitionBy(*keys).orderBy(*_cols(order))
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
 

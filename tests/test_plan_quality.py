@@ -208,3 +208,14 @@ def test_range_join_is_equi_not_cross(spark):
     p = plan(spark, "range_join_error_windows")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Join" in p  # a real equi join (BHJ or SMJ) survived
+
+
+def test_topk_prunes_map_side(spark):
+    """topk_per_group's rank filter must push a WindowGroupLimit BELOW
+    the exchange (map-side per-key top-k prune) — the skew guard that
+    keeps a hot key from shipping every row to one reducer."""
+    p = plan(spark, "topk_per_group")
+    tree = p.split("(1) Scan")[0]
+    exch = tree.index("Exchange")
+    below = tree[exch:]
+    assert "WindowGroupLimit" in below, "no map-side WindowGroupLimit under the exchange"

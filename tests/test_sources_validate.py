@@ -225,3 +225,24 @@ def test_validate_checks_catch_corruption(spark, tmp_path_factory):
     )
     ok, bad = V.check_total_consistency(corrupted)
     assert not ok and bad > 0
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source/sink parity: lineitem slice round-trips exactly and
+    predicate pushdown reaches the ORC scan (PushedFilters) — format
+    breadth beyond parquet/CSV/JSONL without any extra dependency."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(500)
+    out = str(tmp_path / "li_orc")
+    li.write.mode("overwrite").option("compression", "zstd").orc(out)
+    back = spark.read.orc(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity").explain("formatted")
+    p = buf.getvalue()
+    assert "PushedFilters:" in p and "l_quantity" in p.split("PushedFilters:")[1].splitlines()[0]
