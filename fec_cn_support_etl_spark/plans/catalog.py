@@ -1758,3 +1758,62 @@ def curation_pipeline(spark, sf_dir):
         F.col("doc_id") == F.col("__canon")
     )
     return dedup.select("doc_id", "n_tokens", "quality")
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part scalar subquery (avg
+    quantity) gating the fact rows. Spark side computes the per-part
+    average ONCE as a windowed column over the already-shuffled
+    partkey — no second fact scan and no self-join, vs the naive
+    correlated-subquery plan that rescans lineitem per part. The 0.2 *
+    avg comparison is double-exact in both engines (avg of doubles in
+    a single partial+final agg; same operand order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn("__avg_qty", F.avg("l_quantity").over(w))
+    return (
+        flagged.join(p, flagged.l_partkey == p.p_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(
+            (F.round(F.sum(dec("l_extendedprice")) / F.lit(7.0), 2)).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "lag_user_value_delta",
+    """
+    SELECT event_id, user_id,
+           COALESCE(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS delta,
+           COALESCE(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id), '') AS next_type
+    FROM events
+    """,
+)
+def lag_user_value_delta(spark, sf_dir):
+    """lead/lag offset windows: per-user consecutive-event value delta
+    and next event type. Unique (ts, event_id) ordering makes the
+    offsets deterministic; the subtraction is a single IEEE op on the
+    raw doubles, identical in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("value") - F.lag("value").over(w), F.lit(0.0)).alias("delta"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("")).alias("next_type"),
+    )
