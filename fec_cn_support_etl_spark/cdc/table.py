@@ -85,6 +85,34 @@ class Snapshot:
         return self.schema_json[self.current_schema_id]
 
 
+def _dir_stats(bdir: str, stat_cols: list[str]) -> dict:
+    """Manifest-level file statistics from parquet FOOTERS (no Spark
+    job, no data read): per tracked column, the min/max across the
+    directory's row groups — what Iceberg keeps per data file, used to
+    prune whole files at read planning time."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for name in sorted(os.listdir(bdir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(bdir, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in stat_cols:
+            if c not in idx:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = out.get(c, (None, None))
+                out[c] = (
+                    st.min if lo is None else min(lo, st.min),
+                    st.max if hi is None else max(hi, st.max),
+                )
+    return {c: {"min": v[0], "max": v[1]} for c, v in out.items()}
+
+
 def resolve_lww(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
     """One image per key: max_by(row, order) — the same algebraic
     (partial-agg, skew-immune) collapse the engine uses for batch dedup,
@@ -95,6 +123,11 @@ def resolve_lww(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFr
 
 
 class LakeTable:
+    # columns whose footer min/max are recorded per file entry at commit
+    # (Iceberg manifest stats); reads with a bound on one of these prune
+    # whole files driver-side before any Spark job is planned
+    STAT_COLS = ["lsn"]
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -281,7 +314,9 @@ class LakeTable:
         for b in touched_buckets:
             bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
             if os.path.isdir(bdir):
-                buckets[str(b)] = [{"path": bdir, "schema_id": schema_id}]
+                buckets[str(b)] = [
+                    {"path": bdir, "schema_id": schema_id, "stats": _dir_stats(bdir, self.STAT_COLS)}
+                ]
             # empty bucket (all rows deleted) -> no files, bucket absent
         applied = dict(snap.applied)
         applied[str(epoch)] = {"snapshot": version, "ts": time.time(), **(lineage or {})}
@@ -351,7 +386,9 @@ class LakeTable:
             for b in touched_buckets:
                 bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
                 if os.path.isdir(bdir):
-                    buckets.setdefault(str(b), []).append({"path": bdir, "schema_id": schema_id})
+                    buckets.setdefault(str(b), []).append(
+                        {"path": bdir, "schema_id": schema_id, "stats": _dir_stats(bdir, self.STAT_COLS)}
+                    )
             applied = dict(snap.applied)
             applied[str(epoch)] = {"snapshot": version, "ts": time.time(), **(lineage or {})}
             try:
@@ -383,6 +420,39 @@ class LakeTable:
         n_write = max(1, min(len(cand), self.spark.sparkContext.defaultParallelism * 2))
         resolved = resolved.repartition(n_write, F.col(BUCKET_COL))
         return self.commit_merge(resolved, cand, epoch=f"compact-{snap.version}", base_snap=snap)
+
+    def read_since_lsn(self, min_lsn: int, snap: Snapshot | None = None) -> DataFrame:
+        """All row images with lsn >= ``min_lsn`` — file-pruned via the
+        manifest stats BEFORE any Spark job: a file whose footer
+        max(lsn) < min_lsn is never listed in the scan. This is the
+        Iceberg-manifest-stats read path (incremental audits, re-index
+        jobs, late-consumer catch-up); rows are RAW images (not
+        LWW-resolved — a consumer wanting final state uses read()).
+        Files from pre-stats snapshots (no recorded stats) are kept —
+        pruning is only ever an optimization, never a correctness
+        gamble."""
+        snap = snap or self.current_snapshot()
+        cur_schema = self.schema(snap)
+        by_schema: dict[str, list[str]] = {}
+        kept = skipped = 0
+        for files in snap.buckets.values():
+            for f in files:
+                st = (f.get("stats") or {}).get("lsn")
+                if st is not None and st.get("max") is not None and st["max"] < min_lsn:
+                    skipped += 1
+                    continue
+                kept += 1
+                by_schema.setdefault(f["schema_id"], []).append(f["path"])
+        if not by_schema:
+            return self.spark.createDataFrame([], cur_schema).filter(F.lit(False))
+        parts = []
+        for sid, paths in sorted(by_schema.items()):
+            sch = T.StructType.fromJson(json.loads(snap.schema_json[sid]))
+            parts.append(_conform(self.spark.read.schema(sch).parquet(*paths), cur_schema))
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.filter(F.col("lsn") >= min_lsn)
 
     # ---------------------------------------------------- change data feed
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:

@@ -272,3 +272,33 @@ def test_change_feed_skips_maintenance_commits(spark, wal, tmp_path):
     v2 = t.current_snapshot().version
     assert v2 == v1 + 1
     assert t.read_changes(v1, v2).count() == 0  # compaction changes nothing logically
+
+
+def test_manifest_stats_prune_read_since_lsn(spark, wal, tmp_path):
+    """Commits record parquet-footer lsn ranges in the snapshot;
+    read_since_lsn prunes whole files driver-side and still returns
+    exactly the rows with lsn >= bound."""
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor")
+    t = LakeTable(spark, mor)
+    snap = t.current_snapshot()
+    entries = [f for fs in snap.buckets.values() for f in fs]
+    assert all("stats" in f and "lsn" in f["stats"] for f in entries)
+    full = t.read(snap, include_deleted=True).select("repo", "path", "lsn").toPandas()
+    # raw images >= a cutoff in the middle of the lsn range
+    cut = int(full["lsn"].quantile(0.6))
+    got = t.read_since_lsn(cut).select("lsn").toPandas()
+    assert (got["lsn"] >= cut).all()
+    # every epoch-3+ event image above the cut appears (raw, incl. losers)
+    import pandas as pd
+
+    raw = pd.concat(
+        [pd.read_parquet(os.path.join(wal, f"epoch={e}")) for e in range(EPOCHS)], ignore_index=True
+    )
+    # winners per key with lsn >= cut are necessarily present
+    expect_min = raw[raw.lsn >= cut].groupby(["repo", "path"]).lsn.max()
+    have = set(got["lsn"])
+    assert set(expect_min).issubset(have)
+    # and pruning really skipped something: read_since_lsn with a cutoff
+    # above the global max reads zero files
+    assert t.read_since_lsn(int(full["lsn"].max()) + 1).count() == 0
