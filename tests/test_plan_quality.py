@@ -219,3 +219,14 @@ def test_topk_prunes_map_side(spark):
     exch = tree.index("Exchange")
     below = tree[exch:]
     assert "WindowGroupLimit" in below, "no map-side WindowGroupLimit under the exchange"
+
+
+def test_curation_pipeline_single_scan(spark):
+    """The composed curation pipeline (quality -> lang -> sample ->
+    dedup) must fuse into ONE documents scan with one shuffle (the
+    dedup window on the content digest) — composition must not
+    re-scan per stage."""
+    p = plan(spark, "curation_pipeline")
+    assert p.count("documents.parquet") == 1
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
