@@ -77,16 +77,32 @@ def _fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
+def _real_decode_features(modality: str, payload: bytes) -> np.ndarray:
+    """REAL decode for the container-less formats (operators/codecs.py:
+    uncompressed 24-bit BMP, mono PCM-16 WAV — pure numpy, no external
+    libs). Compressed containers (jpeg/mp3/mp4) raise — honestly
+    unsupported in this environment."""
+    from .codecs import audio_features, decode_bmp, decode_wav, image_features
+
+    if modality == "image":
+        return image_features(decode_bmp(payload))
+    if modality == "audio":
+        return audio_features(*decode_wav(payload))
+    raise NotImplementedError(
+        f"real decode for modality={modality!r} needs a container codec (av/ffmpeg), "
+        "not present in this environment"
+    )
+
+
 def extract_features(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
-    """Decode + featurize via mapInPandas (real Arrow plumbing, stubbed
-    codec). Raises NotImplementedError when fake=False because no
-    image/audio libraries exist in this container.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "real media decode requires PIL/librosa/av, not present in this environment; "
-            "swap _fake_decode_features for the codec on a real cluster"
-        )
+    """Decode + featurize via mapInPandas (Arrow batch iterator in/out,
+    memory bounded by batch size).
+
+    ``fake=True``: deterministic digest-vector stand-in (any payload).
+    ``fake=False``: REAL decode — uncompressed BMP / PCM WAV via the
+    pure-numpy codecs; other formats raise NotImplementedError (no
+    jpeg/mp3/mp4 codec exists in this container)."""
+    decode = (lambda m, b: _fake_decode_features(b, dim)) if fake else _real_decode_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,7 +112,10 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = True) -> Data
                     "modality": pdf["modality"],
                     "payload_sha256": pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest()),
                     "payload_bytes": pdf["payload"].map(len).astype("int64"),
-                    "feature": pdf["payload"].map(lambda b: _fake_decode_features(b, dim).tolist()),
+                    "feature": [
+                        decode(m, bytes(b)).tolist()
+                        for m, b in zip(pdf["modality"], pdf["payload"])
+                    ],
                 }
             )
             yield out
