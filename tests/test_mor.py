@@ -302,3 +302,27 @@ def test_manifest_stats_prune_read_since_lsn(spark, wal, tmp_path):
     # and pruning really skipped something: read_since_lsn with a cutoff
     # above the global max reads zero files
     assert t.read_since_lsn(int(full["lsn"].max()) + 1).count() == 0
+
+
+def test_snapshot_isolation_for_pinned_readers(spark, wal, tmp_path):
+    """A reader holding snapshot v must see v's data even after later
+    commits land (until vacuum reclaims v) — Iceberg snapshot
+    isolation. Works in both modes because commits never mutate
+    published files."""
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor", stop_after=2)
+    t = LakeTable(spark, mor)
+    pinned_snap = t.current_snapshot()
+    pinned_df = t.read(pinned_snap)  # lazy plan pinned to v
+    d_before = state_digest(
+        pinned_df.select("repo", "path", "commit", "lang", "content_sha", "lsn")
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    _replay(spark, wal, mor, mode="mor")  # more commits on top
+    assert t.current_snapshot().version > pinned_snap.version
+    d_after = state_digest(
+        t.read(pinned_snap).select("repo", "path", "commit", "lang", "content_sha", "lsn")
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert d_after == d_before  # pinned view unchanged by later commits
+    assert d_after != state_digest(table_state(spark, mor))  # head moved on
