@@ -409,3 +409,46 @@ def test_bucket_level_lineage_metrics(spark, wal, tmp_path):
         assert b["n_keys"] == row["n_keys"]
         assert b["n_buckets"] == row["touched_buckets"]
         assert b["min_lsn"] == row["min_lsn"] and b["max_lsn"] == row["max_lsn"]
+
+
+def test_table_cli_metadata_and_maintenance(spark, wal, tmp_path, capsys):
+    """The ops CLI: describe/history/files answer from snapshot JSON
+    alone (no Spark), and compact/vacuum run maintenance end-to-end."""
+    import json as _json
+
+    from fec_cn_support_etl_spark.cdc import table_cli
+
+    table_dir = str(tmp_path / "lake")
+    runner.replay(spark, wal, table_dir, n_buckets=8, mode="mor", log=lambda *_: None)
+    before = state_digest(table_state(spark, table_dir))
+
+    table_cli.main(["describe", "--table", table_dir])
+    desc = _json.loads(capsys.readouterr().out)
+    assert desc["key_cols"] == ["repo", "path"] and desc["mor_dirty_buckets"] > 0
+    assert desc["applied_epochs"] == EPOCHS
+
+    table_cli.main(["history", "--table", table_dir])
+    hist = _json.loads(capsys.readouterr().out)
+    assert len(hist) == EPOCHS and all(r["mode"] == "mor" for r in hist)
+    assert [r["snapshot"] for r in hist] == sorted(r["snapshot"] for r in hist)
+
+    table_cli.main(["files", "--table", table_dir])
+    files = _json.loads(capsys.readouterr().out)
+    assert any(f["role"].startswith("delta") for f in files)
+    assert all("lsn" in (f["stats"] or {}) for f in files)
+
+    # maintenance via CLI entry points (reuse the session's local master)
+    import fec_cn_support_etl_spark.session as sess
+
+    orig = sess.get_spark
+    try:
+        sess.get_spark = lambda **kw: spark  # CLI runs inside the test session
+        table_cli.main(["compact", "--table", table_dir])
+        comp = _json.loads(capsys.readouterr().out)
+        assert comp["compacted"] is True
+        table_cli.main(["vacuum", "--table", table_dir])
+        vac = _json.loads(capsys.readouterr().out)
+        assert vac["removed_dirs"] > 0
+    finally:
+        sess.get_spark = orig
+    assert state_digest(table_state(spark, table_dir)) == before
