@@ -452,3 +452,49 @@ def test_table_cli_metadata_and_maintenance(spark, wal, tmp_path, capsys):
     finally:
         sess.get_spark = orig
     assert state_digest(table_state(spark, table_dir)) == before
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_type_widening_mid_stream(spark, tmp_path, mode):
+    """north rule: 'widened columns' — a batch arriving with size_bytes
+    as LONG after the table recorded INT must widen the table schema
+    and cast earlier files up on read, in both commit modes."""
+    import pyspark.sql.types as T
+
+    from fec_cn_support_etl_spark.cdc.engine import apply_epoch
+    from fec_cn_support_etl_spark.cdc.schema_evolution import SchemaEvolutionError, reconcile
+
+    narrow = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("content_sha", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("size_bytes", T.IntegerType()),
+            T.StructField("_deleted", T.BooleanType()),
+        ]
+    )
+    table_dir = str(tmp_path / f"lake-{mode}")
+    t = LakeTable.create(
+        spark, table_dir, narrow, key_cols=["repo", "path"], n_buckets=4, order_cols=["lsn", "commit"]
+    )
+    b1 = spark.createDataFrame(
+        [("r1", "a.py", "c1", "py", "x", 10, 1, "I")],
+        "repo string, path string, commit string, lang string, content string, lsn long, size_bytes int, op string",
+    )
+    apply_epoch(spark, t, b1, "e1", mode=mode)
+    assert dict((f.name, f.dataType.simpleString()) for f in t.schema().fields)["size_bytes"] == "int"
+    b2 = spark.createDataFrame(
+        [("r1", "b.py", "c2", "py", "y", 20, 5_000_000_000, "I")],
+        "repo string, path string, commit string, lang string, content string, lsn long, size_bytes long, op string",
+    )
+    apply_epoch(spark, t, b2, "e2", mode=mode)
+    assert dict((f.name, f.dataType.simpleString()) for f in t.schema().fields)["size_bytes"] == "bigint"
+    got = {r.path: r.size_bytes for r in t.read().collect()}
+    assert got == {"a.py": 1, "b.py": 5_000_000_000}  # old int file cast up on read
+    # incompatible change still refuses
+    with pytest.raises(SchemaEvolutionError):
+        reconcile(t.schema(), T.StructType([T.StructField("size_bytes", T.StringType())]))
