@@ -17,7 +17,6 @@ chunk loop — chunking is Spark partitioning, for free.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
