@@ -162,7 +162,7 @@ def prepare_epoch(
     pipelines it with the previous epoch's merge/commit. Returns None
     when the manifest says the epoch is already applied."""
     epoch = str(epoch)
-    if epoch in table.applied_epochs():
+    if table.is_applied(epoch):
         return None
     t0 = time.time()
     n_buckets = table.current_snapshot().n_buckets
@@ -242,7 +242,7 @@ def commit_epoch(
     try:
         for attempt in range(3):
             snap = table.current_snapshot()
-            if epoch in snap.applied:
+            if snap.is_applied(epoch):
                 # the competing writer applied our epoch — manifest no-op
                 return ApplyResult(epoch=epoch, skipped=True)
             try:

@@ -133,8 +133,8 @@ def replay(
     applied = 0
     epochs = list_epochs(wal_dir)
     if stop_after is not None:
-        pending = [e for e in epochs if str(e) not in table.applied_epochs()][:stop_after]
-        epochs = [e for e in epochs if str(e) in table.applied_epochs()] + pending
+        pending = [e for e in epochs if not table.is_applied(e)][:stop_after]
+        epochs = [e for e in epochs if table.is_applied(e)] + pending
 
     def _prepare(ep):
         epoch_dir = os.path.join(wal_dir, f"epoch={ep}")

@@ -84,6 +84,16 @@ class Snapshot:
     def current_schema_json(self) -> str:
         return self.schema_json[self.current_schema_id]
 
+    def is_applied(self, epoch) -> bool:
+        """Manifest membership, honoring the epoch watermark: numeric
+        epochs at or below ``props['epoch_watermark']`` are applied even
+        after their individual entries were compacted away."""
+        e = str(epoch)
+        if e in self.applied:
+            return True
+        wm = self.props.get("epoch_watermark")
+        return wm is not None and e.lstrip("-").isdigit() and int(e) <= int(wm)
+
 
 def _dir_stats(bdir: str, stat_cols: list[str]) -> dict:
     """Manifest-level file statistics from parquet FOOTERS (no Spark
@@ -209,7 +219,52 @@ class LakeTable:
         return T.StructType.fromJson(json.loads(snap.schema_json[snap.current_schema_id]))
 
     def applied_epochs(self) -> set[str]:
+        """Epochs with EXPLICIT manifest entries. After
+        ``compact_manifest`` this is not the full applied set — use
+        ``is_applied``/``Snapshot.is_applied`` for idempotency checks."""
         return set(self.current_snapshot().applied.keys())
+
+    def is_applied(self, epoch) -> bool:
+        return self.current_snapshot().is_applied(epoch)
+
+    def compact_manifest(self, keep_last: int = 8) -> Snapshot:
+        """Bound the embedded epoch manifest: at 10^10 events the
+        manifest holds millions of entries and EVERY commit rewrites it
+        inside the snapshot JSON. Numeric epochs forming a contiguous
+        prefix 0..W collapse into ``props['epoch_watermark'] = W``
+        (idempotency for e <= W becomes a comparison); the newest
+        ``keep_last`` numeric entries stay for observability, and
+        non-numeric entries (stream-*, compact-*, purge-*) are kept
+        as-is. Publishes a new snapshot; no data files change."""
+        snap = self.current_snapshot()
+        numeric = sorted(int(e) for e in snap.applied if e.lstrip("-").isdigit())
+        wm = int(snap.props.get("epoch_watermark", -1))
+        for e in numeric:
+            if e == wm + 1:
+                wm = e
+            elif e > wm + 1:
+                break
+        keep_cut = numeric[-keep_last:] if keep_last else []
+        applied = {
+            e: meta
+            for e, meta in snap.applied.items()
+            if not (e.lstrip("-").isdigit() and int(e) <= wm and int(e) not in keep_cut)
+        }
+        if wm < 0 or applied == snap.applied:
+            return snap
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            schema_json=dict(snap.schema_json),
+            current_schema_id=snap.current_schema_id,
+            buckets=snap.buckets,
+            applied=applied,
+            key_cols=snap.key_cols,
+            n_buckets=snap.n_buckets,
+            props={**snap.props, "epoch_watermark": wm},
+            order_cols=snap.order_cols,
+        )
+        self._write_snapshot(new_snap)
+        return new_snap
 
     # -------------------------------------------------------------- read
     def read(
@@ -370,7 +425,7 @@ class LakeTable:
             delta_rows.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out_dir)
         base_schema_id, base_schema_json = snap.current_schema_id, snap.current_schema_json()
         for _attempt in range(max_retries):
-            if str(epoch) in snap.applied:
+            if snap.is_applied(epoch):
                 return snap  # competing writer applied it; our dir is vacuumable orphan
             if snap.current_schema_json() != base_schema_json:
                 raise CommitConflict(

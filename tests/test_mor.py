@@ -326,3 +326,29 @@ def test_snapshot_isolation_for_pinned_readers(spark, wal, tmp_path):
     )
     assert d_after == d_before  # pinned view unchanged by later commits
     assert d_after != state_digest(table_state(spark, mor))  # head moved on
+
+
+def test_manifest_compaction_watermark(spark, wal, tmp_path):
+    """compact_manifest collapses the contiguous numeric-epoch prefix
+    into a watermark: the snapshot stays small at millions of epochs,
+    and idempotency still holds for compacted epochs (re-delivery is a
+    no-op via the watermark comparison)."""
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor")
+    t = LakeTable(spark, mor)
+    full = set(t.applied_epochs())
+    assert full == {str(e) for e in range(EPOCHS)}
+    snap = t.compact_manifest(keep_last=2)
+    assert snap.props["epoch_watermark"] == EPOCHS - 1
+    assert set(snap.applied) == {str(EPOCHS - 2), str(EPOCHS - 1)}
+    # every compacted epoch still reads as applied
+    assert all(t.is_applied(e) for e in range(EPOCHS))
+    assert not t.is_applied(EPOCHS)
+    d = state_digest(table_state(spark, mor))
+    # duplicate delivery of a compacted epoch: full replay is a no-op
+    summary = _replay(spark, wal, mor, mode="mor")
+    assert summary["epochs_applied"] == 0
+    assert state_digest(table_state(spark, mor)) == d
+    # idempotent: nothing left to compact
+    v = t.current_snapshot().version
+    assert t.compact_manifest(keep_last=2).version == v
