@@ -1817,3 +1817,50 @@ def lag_user_value_delta(spark, sf_dir):
         F.coalesce(F.col("value") - F.lag("value").over(w), F.lit(0.0)).alias("delta"),
         F.coalesce(F.lead("event_type").over(w), F.lit("")).alias("next_type"),
     )
+
+
+@_q(
+    "time_bucket_rollup",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') ELSE '' END AS bucket_hour,
+           event_type,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('day', ts), event_type),
+      (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+    )
+    """,
+)
+def time_bucket_rollup(spark, sf_dir):
+    """Hypertable-style time rollup: hourly AND daily continuous
+    aggregates of the event stream in ONE pass via grouping sets — the
+    batch twin of maintaining two materialized rollup tables. Spark
+    computes both granularities from a single scan + one partial+final
+    agg (Expand feeds the two sets); the coarser bucket truncations
+    are derived columns, so the day rollup never re-reads the facts.
+    The hour column is ''-sentineled at the day granularity (GROUPING()
+    in both engines) to keep the hash NULL-free."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
+    g = ev.select(day.alias("__day"), hour.alias("__hour"), "event_type", "value").groupingSets(
+        [["__day", "event_type"], ["__day", "__hour", "event_type"]],
+        "__day", "__hour", "event_type",
+    )
+    return g.agg(
+        F.grouping("__hour").alias("__g_hour"),
+        money(F.sum(dec("value"))).alias("total_value"),
+        F.count("*").alias("n"),
+    ).select(
+        F.date_format("__day", "yyyy-MM-dd").alias("bucket_day"),
+        F.when(F.col("__g_hour") == 0, F.date_format("__hour", "yyyy-MM-dd HH:mm:ss")).otherwise(
+            F.lit("")
+        ).alias("bucket_hour"),
+        "event_type",
+        "total_value",
+        "n",
+    )
