@@ -230,3 +230,13 @@ def test_curation_pipeline_single_scan(spark):
     assert p.count("documents.parquet") == 1
     tree = p.split("(1) Scan")[0]
     assert tree.count("Exchange") == 1
+
+
+def test_time_rollup_single_pass(spark):
+    """Both rollup granularities (hour + day) must come from ONE events
+    scan via Expand — not one scan per materialized granularity."""
+    p = plan(spark, "time_bucket_rollup")
+    assert p.count("events.parquet") == 1
+    assert "Expand" in p
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
