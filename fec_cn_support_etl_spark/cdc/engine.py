@@ -104,20 +104,18 @@ def lww_dedup(
 def detect_hot_keys(batch: DataFrame, threshold: float = 0.02, sample_fraction: float | None = None, seed: int = 42) -> DataFrame:
     """(repo, path) keys above ``threshold`` of (sampled) batch rows.
 
-    Lazy and single-scan: total rows come from the per-key counts via a
-    global window (counts is distinct-key-sized), so no eager count()
-    and no second pass over the batch (operators/skew.py has the
-    general version + rationale)."""
-    from pyspark.sql.window import Window
-
+    Lazy, no single-task stage: the batch total is a 1-row scalar
+    aggregate over the per-key counts, broadcast-cross-joined back —
+    never an unpartitioned window, which would sort every distinct key
+    in ONE task at the billion-key scale this path guards against
+    (operators/skew.py has the general version + rationale)."""
     s = batch.select(*KEYS)
     if sample_fraction:
         s = s.sample(fraction=sample_fraction, seed=seed)
-    counts = s.groupBy(*KEYS).count().withColumn(
-        "__total", F.sum("count").over(Window.partitionBy())
-    )
+    counts = s.groupBy(*KEYS).count()
+    total = counts.agg(F.sum("count").alias("__total"))
     cutoff = F.greatest(F.lit(1).cast("long"), F.floor(F.col("__total") * F.lit(threshold)))
-    return counts.filter(F.col("count") >= cutoff).select(*KEYS)
+    return counts.crossJoin(F.broadcast(total)).filter(F.col("count") >= cutoff).select(*KEYS)
 
 
 def enrich_content(df: DataFrame, use_pandas_udf: bool = True) -> DataFrame:
@@ -236,7 +234,7 @@ def commit_epoch(
     CommitConflict and the merge re-derives from the fresh snapshot
     (correctness under reordering is still covered by tombstoned
     conditional LWW)."""
-    from .table import CommitConflict
+    from .table import CommitConflict, EpochAlreadyApplied
 
     epoch, winners, stats, touched, t0 = prep.epoch, prep.winners, prep.stats, prep.touched, prep.t_start
     try:
@@ -249,6 +247,11 @@ def commit_epoch(
                 commit_fn = _append_and_commit if mode == "mor" else _merge_and_commit
                 new_snap, lineage = commit_fn(spark, table, snap, winners, stats, touched, epoch)
                 break
+            except EpochAlreadyApplied:
+                # lost the race to a writer that applied THIS epoch:
+                # a skipped apply, never a metrics row (the winner
+                # already counted it)
+                return ApplyResult(epoch=epoch, skipped=True)
             except CommitConflict:
                 if attempt == 2:
                     raise

@@ -62,6 +62,13 @@ class CommitConflict(Exception):
     concurrency commit protocol."""
 
 
+class EpochAlreadyApplied(CommitConflict):
+    """A competing writer applied this epoch while we were committing.
+    Subclasses CommitConflict so optimistic retry loops re-read the
+    snapshot, see the epoch in the manifest, and report a SKIPPED
+    apply — the loser must not double-count the epoch in metrics."""
+
+
 def bucket_expr(keys: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
@@ -91,8 +98,11 @@ class Snapshot:
         e = str(epoch)
         if e in self.applied:
             return True
+        # non-negative numerals only: the watermark collapsed epochs
+        # 0..W, so a dash-prefixed or otherwise exotic epoch name must
+        # never compare numerically against it (it was never collapsed)
         wm = self.props.get("epoch_watermark")
-        return wm is not None and e.lstrip("-").isdigit() and int(e) <= int(wm)
+        return wm is not None and e.isdigit() and int(e) <= int(wm)
 
 
 def _dir_stats(bdir: str, stat_cols: list[str]) -> dict:
@@ -237,7 +247,7 @@ class LakeTable:
         non-numeric entries (stream-*, compact-*, purge-*) are kept
         as-is. Publishes a new snapshot; no data files change."""
         snap = self.current_snapshot()
-        numeric = sorted(int(e) for e in snap.applied if e.lstrip("-").isdigit())
+        numeric = sorted(int(e) for e in snap.applied if e.isdigit())
         wm = int(snap.props.get("epoch_watermark", -1))
         for e in numeric:
             if e == wm + 1:
@@ -248,7 +258,7 @@ class LakeTable:
         applied = {
             e: meta
             for e, meta in snap.applied.items()
-            if not (e.lstrip("-").isdigit() and int(e) <= wm and int(e) not in keep_cut)
+            if not (e.isdigit() and int(e) <= wm and int(e) not in keep_cut)
         }
         if wm < 0 or applied == snap.applied:
             return snap
@@ -414,9 +424,15 @@ class LakeTable:
         Concurrency: appends COMMUTE, so a CommitConflict is rebased
         internally — the already-written delta dir is re-attached to
         the fresh snapshot and the CAS retried; the data job never
-        re-runs. The one case that cannot rebase blindly — the foreign
-        commit changed the current schema — re-raises for the caller to
-        re-reconcile (mirrors commit_merge's contract)."""
+        re-runs. Cases that cannot rebase blindly re-raise for the
+        caller to re-derive (mirrors commit_merge's contract): a
+        foreign schema change (delta rows were conformed to a stale
+        schema) and a foreign structural change — rebucket() changing
+        ``n_buckets`` (the delta files are bucketed under the OLD
+        hash), or key/order column changes (read-time LWW would
+        resolve by the wrong columns). A foreign writer applying THIS
+        epoch raises EpochAlreadyApplied so the caller reports a
+        skipped apply instead of double-counting it."""
         snap = base_snap or self.current_snapshot()
         if not snap.order_cols:
             raise ValueError("merge-on-read append requires order_cols on the table")
@@ -424,12 +440,20 @@ class LakeTable:
         if touched_buckets:
             delta_rows.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out_dir)
         base_schema_id, base_schema_json = snap.current_schema_id, snap.current_schema_json()
+        base_layout = (snap.n_buckets, tuple(snap.key_cols), tuple(snap.order_cols))
         for _attempt in range(max_retries):
             if snap.is_applied(epoch):
-                return snap  # competing writer applied it; our dir is vacuumable orphan
+                # competing writer applied it; our dir is a vacuumable orphan
+                raise EpochAlreadyApplied(f"epoch {epoch} applied by a competing writer")
             if snap.current_schema_json() != base_schema_json:
                 raise CommitConflict(
                     f"schema changed under append (base {base_schema_id}, now {snap.current_schema_id})"
+                )
+            if (snap.n_buckets, tuple(snap.key_cols), tuple(snap.order_cols)) != base_layout:
+                raise CommitConflict(
+                    f"table layout changed under append (base n_buckets/keys/order {base_layout}, "
+                    f"now ({snap.n_buckets}, {tuple(snap.key_cols)}, {tuple(snap.order_cols)})) — "
+                    "delta placement must be re-derived"
                 )
             version = snap.version + 1
             schema_json = dict(snap.schema_json)
@@ -447,10 +471,33 @@ class LakeTable:
             applied = dict(snap.applied)
             applied[str(epoch)] = {"snapshot": version, "ts": time.time(), **(lineage or {})}
             try:
-                return self._publish(snap, version, schema_json, schema_id, buckets, applied)
+                new_snap = self._publish(snap, version, schema_json, schema_id, buckets, applied)
             except CommitConflict:
                 snap = self.current_snapshot()  # rebase: appends commute
+                continue
+            return self._auto_compact(new_snap)
         raise CommitConflict(f"append for epoch {epoch} lost {max_retries} races")
+
+    # Backstop against unbounded snapshot growth: without scheduled
+    # compaction every MOR append adds a file entry per touched bucket,
+    # and at 10^5 epochs the snapshot JSON itself becomes the bottleneck
+    # (every commit rewrites it). Overridable per table via
+    # props['max_delta_files'] (0 disables).
+    DEFAULT_MAX_DELTA_FILES = 64
+
+    def _auto_compact(self, snap: Snapshot) -> Snapshot:
+        """Fold any bucket whose delta chain exceeds the table's
+        ``max_delta_files`` bound back to a single base file. State
+        digest is unchanged (compact is LWW-preserving, test-pinned);
+        only read amplification and snapshot size shrink."""
+        limit = int(snap.props.get("max_delta_files", self.DEFAULT_MAX_DELTA_FILES) or 0)
+        if not limit or all(len(fs) <= limit for fs in snap.buckets.values()):
+            return snap
+        try:
+            compacted = self.compact(max_files=limit)
+        except CommitConflict:
+            return snap  # best-effort backstop: a foreign commit will re-trigger
+        return compacted if compacted is not None else snap
 
     def compact(self, max_files: int = 1, buckets: list[int] | None = None) -> Snapshot | None:
         """Fold delta files back into one base file per bucket: rewrite
@@ -537,7 +584,6 @@ class LakeTable:
         for v in range(from_version + 1, to_version + 1):
             prev, cur = self.snapshot_at(v - 1), self.snapshot_at(v)
             empty_schema = self.schema(cur)
-            entry = next((e for e in cur.applied.values() if e.get("snapshot") == v), None)
             epoch_name = next((k for k, e in cur.applied.items() if e.get("snapshot") == v), "")
             if epoch_name.startswith(("compact-", "purge-", "rebucket-")):
                 continue
@@ -559,7 +605,16 @@ class LakeTable:
             new_rows = parts[0]
             for p in parts[1:]:
                 new_rows = new_rows.unionByName(p)
-            if (entry or {}).get("mode") != "mor":
+            # MOR classification must survive manifest compaction (the
+            # applied entry carrying lineage 'mode' is prunable): delta
+            # append dirs are named v{N}-{uuid}-delta, so the added
+            # paths themselves say how the commit was made.
+            is_mor_append = all(
+                os.path.basename(os.path.dirname(p)).endswith("-delta")
+                for paths in added.values()
+                for p in paths
+            )
+            if not is_mor_append:
                 # COW rewrite: subtract the buckets' previous full state
                 old_rows = _conform(
                     self.read(prev, buckets=sorted(set(appended_buckets)), include_deleted=True),

@@ -40,26 +40,24 @@ def detect_hot_keys(
     """Keys carrying more than ``threshold`` of (sampled) rows.
 
     Returns a small DataFrame of the key columns (collectible /
-    broadcastable). LAZY and single-scan: the total comes from the
-    already-computed per-key counts via a global window (the counts
-    relation is distinct-key-sized, so the window is trivial), so skew
-    detection never costs an extra full scan or an eager ``count()``
-    job — at 10^10 events the only pass over the data is the map-side-
-    combined groupBy that the caller's plan executes once, when
-    consumed. ``sample_fraction`` further caps agg CPU (a 0.1% sample
-    still sees every >0.01%-hot key thousands of times); the scan
-    itself is not avoidable by sampling.
+    broadcastable). LAZY, and every stage is fully parallel: the total
+    is a 1-row scalar aggregate over the per-key counts, attached via
+    a broadcast cross join. An unpartitioned window over the counts
+    would be one shuffle cheaper but funnels ALL distinct keys through
+    a single sort task — at the 10^10-event / 10^9-distinct-key regime
+    this module exists for, that is the skew bottleneck reintroduced
+    inside the skew kit. The price here is computing the map-side-
+    combined groupBy twice (filter side + total side), each fully
+    parallel; ``sample_fraction`` caps that CPU (a 0.1% sample still
+    sees every >0.01%-hot key thousands of times).
     """
-    from pyspark.sql.window import Window
-
     s = df.select(*keys)
     if sample_fraction:
         s = s.sample(fraction=sample_fraction, seed=seed)
-    counts = s.groupBy(*keys).count().withColumn(
-        "__total", F.sum("count").over(Window.partitionBy())
-    )
+    counts = s.groupBy(*keys).count()
+    total = counts.agg(F.sum("count").alias("__total"))
     cutoff = F.greatest(F.lit(1).cast("long"), F.floor(F.col("__total") * F.lit(threshold)))
-    return counts.filter(F.col("count") >= cutoff).select(*keys)
+    return counts.crossJoin(F.broadcast(total)).filter(F.col("count") >= cutoff).select(*keys)
 
 
 def salted_repartition(

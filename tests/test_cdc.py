@@ -109,10 +109,12 @@ def test_skew_handling_same_result(spark, wal, tmp_path):
 
 
 def test_detect_hot_keys_lazy_single_scan(spark, wal):
-    """Skew detection must not cost an eager extra scan: building the
-    hot-key frame runs ZERO jobs (the total comes from the per-key
-    counts via a global window, not a separate count()), and consuming
-    it runs one job over one pass of the batch."""
+    """Skew detection must not cost an eager extra scan OR a
+    single-task stage: building the hot-key frame runs ZERO jobs (the
+    total is a lazy 1-row aggregate broadcast back, not an eager
+    count()), and the physical plan contains no SinglePartition
+    exchange — an unpartitioned window here would sort every distinct
+    key in one task, the exact bottleneck this module exists to avoid."""
     from fec_cn_support_etl_spark.cdc.engine import detect_hot_keys
 
     # one hot key (60% of rows) among a uniform tail
@@ -122,6 +124,18 @@ def test_detect_hot_keys_lazy_single_scan(spark, wal):
     before = set(tracker.getJobIdsForGroup())
     hot = detect_hot_keys(batch, threshold=0.02)
     assert set(tracker.getJobIdsForGroup()) == before, "detect_hot_keys ran an eager job"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hot.explain("formatted")
+    p = buf.getvalue()
+    # No window operator: an unpartitioned window ships ALL distinct
+    # keys into one sort task. (The scalar total's own SinglePartition
+    # exchange is fine — it moves one partial row per task, not keys.)
+    assert "Window" not in p, "hot-key plan funnels all keys through one window task"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # total attached by broadcast
     rows = hot.collect()
     assert {(r["repo"], r["path"]) for r in rows} == {("hot/repo", "a.py")}
     # exactness unchanged vs the eager two-pass version on real WAL data

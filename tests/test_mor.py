@@ -352,3 +352,127 @@ def test_manifest_compaction_watermark(spark, wal, tmp_path):
     # idempotent: nothing left to compact
     v = t.current_snapshot().version
     assert t.compact_manifest(keep_last=2).version == v
+
+
+def test_mor_rebucket_race_raises_for_rederive(spark, wal, tmp_path):
+    """A foreign rebucket() between derive and publish changes the
+    bucket hash — delta files placed under the OLD n_buckets must NOT
+    be rebased blindly (bucket-scoped reads would silently miss them).
+    commit_append_delta must raise so the engine re-derives placement."""
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor", stop_after=2)
+    t = LakeTable(spark, mor)
+    t.compact(max_files=1)
+    base = t.current_snapshot()
+    t.rebucket(16)  # the foreign structural change
+    delta = t.read(base, include_deleted=True).limit(1).withColumn("__bucket", F.lit(0))
+    with pytest.raises(CommitConflict, match="layout changed"):
+        t.commit_append_delta(delta, [0], "race-layout", base_snap=base, max_retries=3)
+
+
+def test_mor_lost_epoch_race_raises_already_applied(spark, wal, tmp_path):
+    """A competing writer applying THIS epoch mid-rebase must surface
+    as EpochAlreadyApplied (a CommitConflict subclass), not a silent
+    foreign-snapshot return the caller would count as its own apply."""
+    from fec_cn_support_etl_spark.cdc.table import EpochAlreadyApplied
+
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor", stop_after=1)
+    t = LakeTable(spark, mor)
+    base = t.current_snapshot()
+    _replay(spark, wal, mor, mode="mor", stop_after=2)  # foreign writer applies epoch 1
+    delta = t.read(base, include_deleted=True).limit(1).withColumn("__bucket", F.lit(0))
+    with pytest.raises(EpochAlreadyApplied):
+        t.commit_append_delta(delta, [0], "1", base_snap=base, max_retries=3)
+
+
+def test_lost_epoch_race_reports_skipped_no_metrics(spark, wal, tmp_path, monkeypatch):
+    """The engine converts EpochAlreadyApplied into a SKIPPED apply:
+    the losing writer must not report a real apply nor write epoch /
+    bucket metrics (the winner already counted the epoch)."""
+    from fec_cn_support_etl_spark.cdc import engine
+    from fec_cn_support_etl_spark.cdc.table import EpochAlreadyApplied
+
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor", stop_after=1)
+    t = LakeTable(spark, mor)
+    batch = spark.read.parquet(os.path.join(wal, "epoch=1"))
+    prep = engine.prepare_epoch(spark, t, batch, "1")
+    assert prep is not None
+
+    def lose_race(*a, **k):
+        raise EpochAlreadyApplied("competing writer applied epoch 1")
+
+    monkeypatch.setattr(engine, "_append_and_commit", lose_race)
+    mdir = str(tmp_path / "metrics")
+    res = engine.commit_epoch(spark, t, prep, metrics_dir=mdir, mode="mor")
+    assert res.skipped
+    assert not os.path.exists(mdir), "losing writer wrote metrics for an epoch it did not apply"
+
+
+def test_read_changes_mor_classification_survives_manifest_compaction(spark, wal, tmp_path):
+    """CDF must classify MOR commits by the -delta data-dir suffix, not
+    the prunable manifest lineage: after compact_manifest removes the
+    numeric entries, the change feed must be byte-identical (a
+    misclassified MOR commit would be diffed with exceptAll and drop
+    redelivered rows bit-identical to pre-existing state)."""
+    import pandas as pd
+
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor")
+    t = LakeTable(spark, mor)
+
+    def feed_digest():
+        pdf = t.read_changes(0).toPandas()
+        pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+        return state_digest(pdf.astype(str).where(~pdf.isna(), ""))
+
+    before = feed_digest()
+    t.compact_manifest(keep_last=0)
+    assert t.current_snapshot().props.get("epoch_watermark") == EPOCHS - 1
+    assert before == feed_digest()
+
+
+def test_watermark_only_swallows_nonnegative_numeric_epochs(spark, wal, tmp_path):
+    """'-5'.lstrip('-').isdigit() is True — a dash-prefixed numeric
+    epoch name must NOT read as applied via the watermark comparison
+    after compaction (it was never part of the collapsed 0..W prefix)."""
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor")
+    t = LakeTable(spark, mor)
+    t.compact_manifest(keep_last=0)
+    assert all(t.is_applied(e) for e in range(EPOCHS))
+    assert not t.is_applied(-5)
+    assert not t.is_applied("-3")
+    assert not t.is_applied("stream-7")
+
+
+def test_mor_auto_compact_bounds_snapshot_growth(spark, wal, tmp_path):
+    """Without scheduled compaction, every MOR append grows the
+    snapshot's per-bucket file list — and EVERY commit rewrites the
+    snapshot JSON, so at 10^5 epochs the manifest itself becomes the
+    bottleneck. The max_delta_files backstop must bound the chain
+    (structurally, independent of epoch count) with state unchanged."""
+    mor = str(tmp_path / "mor")
+    _replay(spark, wal, mor, mode="mor", stop_after=1)
+    t = LakeTable(spark, mor)
+    snap = t.current_snapshot()
+    t._write_snapshot(
+        Snapshot(
+            version=snap.version + 1,
+            schema_json=dict(snap.schema_json),
+            current_schema_id=snap.current_schema_id,
+            buckets=snap.buckets,
+            applied=dict(snap.applied),
+            key_cols=snap.key_cols,
+            n_buckets=snap.n_buckets,
+            props={**snap.props, "max_delta_files": 2},
+            order_cols=snap.order_cols,
+        )
+    )
+    _replay(spark, wal, mor, mode="mor")  # 5 more epochs, no compact_every
+    worst = max(len(f) for f in t.current_snapshot().buckets.values())
+    assert worst <= 2, f"delta chain unbounded: {worst} files in one bucket"
+    cow = str(tmp_path / "cow")
+    _replay(spark, wal, cow, mode="cow")
+    assert state_digest(table_state(spark, mor)) == state_digest(table_state(spark, cow))
