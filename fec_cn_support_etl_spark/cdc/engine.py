@@ -137,12 +137,18 @@ def enrich_content(df: DataFrame, use_pandas_udf: bool = True) -> DataFrame:
 
 @dataclass
 class PreparedEpoch:
-    """Output of the parallel phase: LWW winners, persisted + profiled."""
+    """Output of the parallel phase.
+
+    Two shapes: eager (``stats``/``touched``/``bucket_stats`` populated
+    by a dedicated stats job that also materialized a persist) and lazy
+    (``stats`` None — epoch stats ride the commit's write job as
+    Observation metrics, so the epoch costs ONE Spark job; ``touched``
+    is None in MOR mode, discovered from the written delta dirs)."""
 
     epoch: str
     winners: DataFrame
-    stats: object
-    touched: list[int]
+    stats: object  # dict (eager) | None (lazy: harvested from the write)
+    touched: list[int] | None  # None => discovered post-write (MOR)
     t_start: float
     bucket_stats: list = None  # per-bucket (partition) lineage rows
 
@@ -154,11 +160,31 @@ def prepare_epoch(
     epoch: str,
     n_salts: int = 0,
     use_pandas_udf: bool = True,
+    eager_stats: bool = False,
+    mode: str = "cow",
 ) -> PreparedEpoch | None:
     """The embarrassingly-parallel half of an epoch apply: dedup +
-    enrich + persist + stats. Independent of table state, so the runner
+    enrich (+ stats). Independent of table state, so the runner
     pipelines it with the previous epoch's merge/commit. Returns None
-    when the manifest says the epoch is already applied."""
+    when the manifest says the epoch is already applied.
+
+    ``eager_stats=False`` (default, the throughput path): NO stats job
+    and no persist — epoch stats (counts, lsn range) ride the commit's
+    own write job as Observation metrics, so small epochs pay ONE
+    Spark job instead of two; in the small-epoch regime the fixed
+    per-job cost dominates, and this is what clears the probe target.
+    COW still needs the touched-bucket list BEFORE the merge plan
+    exists (it decides which buckets' state to read), sourced from the
+    cheapest possible job: a column-pruned distinct over the RAW batch
+    keys (no dedup, no enrich, no sha) — the key set, hence bucket
+    set, is invariant under LWW dedup. MOR needs it only AFTER the
+    write (delta dirs are discovered from the output listing), so it
+    runs zero extra jobs.
+
+    ``eager_stats=True``: the metrics path — one stats job grouped by
+    bucket materializes a persist AND yields per-partition lineage
+    (north rule: event ranges + row counts per partition) at <=
+    n_buckets rows; required when per-bucket metrics are emitted."""
     epoch = str(epoch)
     if table.is_applied(epoch):
         return None
@@ -167,11 +193,15 @@ def prepare_epoch(
     winners = lww_dedup(batch, n_salts=n_salts)
     winners = enrich_content(winners, use_pandas_udf=use_pandas_udf)
     winners = winners.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
+    if not eager_stats:
+        touched = None
+        if mode != "mor":
+            touched = sorted(
+                r[0]
+                for r in batch.select(bucket_expr(KEYS, n_buckets).alias(BUCKET_COL)).distinct().collect()
+            )
+        return PreparedEpoch(epoch=epoch, winners=winners, stats=None, touched=touched, t_start=t0)
     winners.persist()
-    # One stats job, grouped by bucket: materializes the persist AND
-    # yields per-partition lineage (north rule: event ranges + row
-    # counts per partition) at <= n_buckets rows; epoch-level stats are
-    # folded driver-side for free.
     bucket_stats = winners.groupBy(BUCKET_COL).agg(
         F.count("*").alias("n_keys"),
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
@@ -213,7 +243,16 @@ def apply_epoch(
     base+deltas until ``table.compact()`` folds them) — pick by
     workload, exactly like Iceberg's write.update.mode.
     """
-    prep = prepare_epoch(spark, table, batch, epoch, n_salts=n_salts, use_pandas_udf=use_pandas_udf)
+    prep = prepare_epoch(
+        spark,
+        table,
+        batch,
+        epoch,
+        n_salts=n_salts,
+        use_pandas_udf=use_pandas_udf,
+        eager_stats=metrics_dir is not None,  # per-bucket lineage rows need the stats job
+        mode=mode,
+    )
     if prep is None:
         return ApplyResult(epoch=str(epoch), skipped=True)
     return commit_epoch(spark, table, prep, metrics_dir=metrics_dir, mode=mode)
@@ -259,15 +298,21 @@ def commit_epoch(
         winners.unpersist()
 
     _ = lineage
+    if stats is None:
+        # lazy path: the stats rode the commit's write job (Observation
+        # metrics / delta-dir discovery) and were embedded in the
+        # snapshot's applied entry — read them back from there
+        stats = new_snap.applied.get(str(epoch), {})
+    n_touched = len(touched) if touched is not None else int(stats.get("touched_buckets") or 0)
     res = ApplyResult(
         epoch=epoch,
         skipped=False,
-        n_keys=int(stats["n_keys"]),
-        n_deletes=int(stats["n_deletes"] or 0),
-        n_upserts=int(stats["n_keys"]) - int(stats["n_deletes"] or 0),
-        min_lsn=int(stats["min_lsn"]) if stats["min_lsn"] is not None else None,
-        max_lsn=int(stats["max_lsn"]) if stats["max_lsn"] is not None else None,
-        touched_buckets=len(touched),
+        n_keys=int(stats.get("n_keys") or 0),
+        n_deletes=int(stats.get("n_deletes") or 0),
+        n_upserts=int(stats.get("n_keys") or 0) - int(stats.get("n_deletes") or 0),
+        min_lsn=int(stats["min_lsn"]) if stats.get("min_lsn") is not None else None,
+        max_lsn=int(stats["max_lsn"]) if stats.get("max_lsn") is not None else None,
+        touched_buckets=n_touched,
         apply_sec=time.time() - t0,
         snapshot=new_snap.version,
     )
@@ -276,6 +321,45 @@ def commit_epoch(
 
         write_epoch_metrics(spark, metrics_dir, res, bucket_stats=prep.bucket_stats)
     return res
+
+
+def _epoch_observation(batch_rows):
+    """Attach epoch-stat metrics to the commit's OWN write job: count,
+    delete count, lsn range — the same numbers the eager stats job
+    computes, for free (CollectMetrics evaluates inside the existing
+    scan). Fresh Observation per attempt: an Observation binds to one
+    action. Returns (observed_df, memoized_lineage_fn)."""
+    from pyspark.sql import Observation
+
+    from .table import DELETED_COL
+
+    obs = Observation()
+    observed = batch_rows.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col(DELETED_COL), 1).otherwise(0)).alias("n_deletes"),
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+    )
+    memo = {}
+
+    def lineage_fn():
+        if not memo:
+            m = obs.get  # blocks until the write action finished
+            n_keys = int(m["n_keys"] or 0)
+            n_del = int(m["n_deletes"] or 0)
+            memo.update(
+                {
+                    "n_events": n_keys,
+                    "n_keys": n_keys,
+                    "n_deletes": n_del,
+                    "min_lsn": int(m["min_lsn"]) if m["min_lsn"] is not None else None,
+                    "max_lsn": int(m["max_lsn"]) if m["max_lsn"] is not None else None,
+                }
+            )
+        return dict(memo)
+
+    return observed, lineage_fn
 
 
 def _merge_and_commit(spark, table, snap, winners, stats, touched, epoch):
@@ -305,6 +389,9 @@ def _merge_and_commit(spark, table, snap, winners, stats, touched, epoch):
         winners.drop(BUCKET_COL, "epoch").withColumn(DELETED_COL, F.col("op") == "D").drop("op"),
         target_schema,
     )
+    lineage_fn = None
+    if stats is None:
+        batch_rows, lineage_fn = _epoch_observation(batch_rows)
 
     # Single-pass conditional LWW (MERGE ... WHEN MATCHED AND s.lsn >
     # t.lsn semantics): every state row competes with its batch winner
@@ -333,14 +420,17 @@ def _merge_and_commit(spark, table, snap, winners, stats, touched, epoch):
     n_write = max(1, min(len(touched), spark.sparkContext.defaultParallelism * 2))
     new_state = new_state.repartition(n_write, F.col(BUCKET_COL))
 
-    lineage = {
-        "n_events": int(stats["n_keys"]),
-        "n_keys": int(stats["n_keys"]),
-        "n_deletes": int(stats["n_deletes"] or 0),
-        "min_lsn": int(stats["min_lsn"]) if stats["min_lsn"] is not None else None,
-        "max_lsn": int(stats["max_lsn"]) if stats["max_lsn"] is not None else None,
-        "touched_buckets": len(touched),
-    }
+    if lineage_fn is not None:
+        lineage = lambda: {**lineage_fn(), "touched_buckets": len(touched)}  # noqa: E731
+    else:
+        lineage = {
+            "n_events": int(stats["n_keys"]),
+            "n_keys": int(stats["n_keys"]),
+            "n_deletes": int(stats["n_deletes"] or 0),
+            "min_lsn": int(stats["min_lsn"]) if stats["min_lsn"] is not None else None,
+            "max_lsn": int(stats["max_lsn"]) if stats["max_lsn"] is not None else None,
+            "touched_buckets": len(touched),
+        }
     return (
         table.commit_merge(new_state, touched, epoch, new_schema=target_schema, lineage=lineage, base_snap=snap),
         lineage,
@@ -363,22 +453,32 @@ def _append_and_commit(spark, table, snap, winners, stats, touched, epoch):
         + [T.StructField(DELETED_COL, T.BooleanType())]
     )
     target_schema, _changed = reconcile(table.schema(snap), batch_payload_schema)
-    lineage = {
-        "n_events": int(stats["n_keys"]),
-        "n_keys": int(stats["n_keys"]),
-        "n_deletes": int(stats["n_deletes"] or 0),
-        "min_lsn": int(stats["min_lsn"]) if stats["min_lsn"] is not None else None,
-        "max_lsn": int(stats["max_lsn"]) if stats["max_lsn"] is not None else None,
-        "touched_buckets": len(touched),
-        "mode": "mor",
-    }
-    if not touched:
-        return table.commit_append_delta(None, [], epoch, lineage=lineage, base_snap=snap), lineage
+    if stats is not None:
+        lineage = {
+            "n_events": int(stats["n_keys"]),
+            "n_keys": int(stats["n_keys"]),
+            "n_deletes": int(stats["n_deletes"] or 0),
+            "min_lsn": int(stats["min_lsn"]) if stats["min_lsn"] is not None else None,
+            "max_lsn": int(stats["max_lsn"]) if stats["max_lsn"] is not None else None,
+            "touched_buckets": len(touched),
+            "mode": "mor",
+        }
+        if not touched:
+            return table.commit_append_delta(None, [], epoch, lineage=lineage, base_snap=snap), lineage
     batch_rows = _conform(
         winners.drop(BUCKET_COL, "epoch").withColumn(DELETED_COL, F.col("op") == "D").drop("op"),
         target_schema,
     ).withColumn(BUCKET_COL, bucket_expr(KEYS, snap.n_buckets))
-    n_write = max(1, min(len(touched), spark.sparkContext.defaultParallelism * 2))
+    if stats is None:
+        # lazy path: the append IS the epoch's only Spark job — stats
+        # ride it as Observation metrics, touched buckets come from the
+        # written delta dirs (commit_append_delta discovers them)
+        batch_rows, lineage_fn = _epoch_observation(batch_rows)
+        lineage = lambda: {**lineage_fn(), "mode": "mor"}  # noqa: E731
+        touched = None
+    n_write = max(1, spark.sparkContext.defaultParallelism * 2) if touched is None else max(
+        1, min(len(touched), spark.sparkContext.defaultParallelism * 2)
+    )
     batch_rows = batch_rows.repartition(n_write, F.col(BUCKET_COL))
     return (
         table.commit_append_delta(

@@ -141,7 +141,16 @@ def replay(
         n, schema = _epoch_footer(epoch_dir)
         reader = spark.read.schema(schema) if schema is not None else spark.read
         batch = reader.parquet(epoch_dir)
-        prep = prepare_epoch(spark, table, batch, str(ep), n_salts=n_salts, use_pandas_udf=use_pandas_udf)
+        prep = prepare_epoch(
+            spark,
+            table,
+            batch,
+            str(ep),
+            n_salts=n_salts,
+            use_pandas_udf=use_pandas_udf,
+            eager_stats=metrics_dir is not None,  # per-bucket metrics need the stats job
+            mode=mode,
+        )
         return ep, n, prep
 
     def _finish(ep, n, prep):

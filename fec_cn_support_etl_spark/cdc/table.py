@@ -375,6 +375,10 @@ class LakeTable:
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
+        if callable(lineage):
+            # lazy lineage: resolves Observation metrics collected by
+            # the write job that just finished — zero extra jobs
+            lineage = lineage()
         buckets = {b: files for b, files in snap.buckets.items() if int(b) not in set(touched_buckets)}
         for b in touched_buckets:
             bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
@@ -405,7 +409,7 @@ class LakeTable:
     def commit_append_delta(
         self,
         delta_rows: DataFrame,
-        touched_buckets: list[int],
+        touched_buckets: list[int] | None,
         epoch: str,
         new_schema: T.StructType | None = None,
         lineage: dict | None = None,
@@ -437,8 +441,25 @@ class LakeTable:
         if not snap.order_cols:
             raise ValueError("merge-on-read append requires order_cols on the table")
         out_dir = os.path.join(self._data_dir, f"v{snap.version + 1}-{uuid.uuid4().hex[:8]}-delta")
-        if touched_buckets:
+        if delta_rows is not None and (touched_buckets is None or touched_buckets):
             delta_rows.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out_dir)
+        if callable(lineage):
+            # lazy lineage: resolves Observation metrics collected by
+            # the write job that just finished — zero extra jobs
+            lineage = lineage()
+        if touched_buckets is None:
+            # lazy path: the written delta dirs ARE the touched set —
+            # no pre-write stats job ever computed it
+            touched_buckets = (
+                sorted(
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(out_dir)
+                    if d.startswith(f"{BUCKET_COL}=")
+                )
+                if os.path.isdir(out_dir)
+                else []
+            )
+            lineage = {**(lineage or {}), "touched_buckets": len(touched_buckets)}
         base_schema_id, base_schema_json = snap.current_schema_id, snap.current_schema_json()
         base_layout = (snap.n_buckets, tuple(snap.key_cols), tuple(snap.order_cols))
         for _attempt in range(max_retries):

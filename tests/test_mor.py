@@ -476,3 +476,38 @@ def test_mor_auto_compact_bounds_snapshot_growth(spark, wal, tmp_path):
     cow = str(tmp_path / "cow")
     _replay(spark, wal, cow, mode="cow")
     assert state_digest(table_state(spark, mor)) == state_digest(table_state(spark, cow))
+
+
+def test_mor_lazy_epoch_folds_stats_into_write_job(spark, wal, tmp_path):
+    """The small-epoch throughput contract: with metrics off, a MOR
+    epoch runs ONLY the delta-append write (AQE may split it into
+    stage-jobs, so we pin the shape, not a magic count): stats ride
+    the write as Observation metrics and touched buckets come from the
+    written dirs. Applying the SAME batch with eager_stats must cost
+    strictly more jobs (the dedicated stats/persist job) — that extra
+    job per epoch is what capped the probe below 80k ev/s."""
+    from fec_cn_support_etl_spark.cdc import engine
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _replay(spark, wal, a, mode="mor", stop_after=1)
+    _replay(spark, wal, b, mode="mor", stop_after=1)
+    batch = spark.read.parquet(os.path.join(wal, "epoch=1"))
+    batch.count()  # warm the scan so both probes count only the apply
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_for(table_dir, eager):
+        t = LakeTable(spark, table_dir)
+        before = set(tracker.getJobIdsForGroup())
+        prep = engine.prepare_epoch(spark, t, batch, "1", eager_stats=eager, mode="mor")
+        res = engine.commit_epoch(spark, t, prep, mode="mor")
+        assert not res.skipped and res.n_keys > 0
+        assert res.touched_buckets > 0
+        assert res.min_lsn is not None and res.max_lsn is not None
+        return res, len(set(tracker.getJobIdsForGroup()) - before)
+
+    lazy_res, lazy_jobs = jobs_for(a, eager=False)
+    eager_res, eager_jobs = jobs_for(b, eager=True)
+    assert lazy_jobs < eager_jobs, f"lazy {lazy_jobs} jobs vs eager {eager_jobs}"
+    # and the observed stats equal the eagerly-computed ones exactly
+    for f in ("n_keys", "n_deletes", "min_lsn", "max_lsn", "touched_buckets"):
+        assert getattr(lazy_res, f) == getattr(eager_res, f), f
