@@ -133,13 +133,15 @@ def jaccard_verify(
     3-4x faster at sf0.1 (71k candidates, ~200 shingles/doc) with a
     bit-identical pair set. Shuffle volume is |pairs| x 2 set-arrays;
     for corpora with huge per-doc shingle sets, cap candidate volume
-    upstream (prefilters/bands) — that's what the sketch stages are for.
-    Callers looping many queries in one session should
-    ``spark.catalog.clearCache()`` between runs (bench does).
+    upstream (prefilters/bands — that's what the sketch stages are
+    for) or use ``minhash_dedup_pairs(verify="auto")``, which measures
+    the volume and falls back to the signature estimate. The internal
+    pairs cache is registered with operators/caching.py and released
+    on the next catalog-query construction.
     """
-    from pyspark.storagelevel import StorageLevel
+    from . import caching
 
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = caching.cache(pairs)
     ids = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
@@ -193,15 +195,48 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     verify: str = "signature",
     n_partitions: int | None = None,
+    max_exact_bytes: int = 2_000_000_000,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup: shingle -> minhash -> band ->
     bucket-join -> verify (``signature`` estimate at scale, ``exact``
-    Jaccard for small/ground-truth runs)."""
+    Jaccard for small/ground-truth runs).
+
+    ``verify="auto"`` guards the exact path against pathological
+    corpora (huge docs x many candidates): it estimates the verify-join
+    shuffle volume as ``|pairs| * 2 * avg_shingles_per_doc * 8B`` from
+    two cheap counts, and falls back to the signature estimate —
+    disclosed via a warning, and visible in the output schema
+    (``jaccard_est`` vs ``jaccard``) — when it exceeds
+    ``max_exact_bytes``. At 100 TB an unguarded exact verify on a bad
+    candidate set is an OOM, not a slow query."""
     if n_partitions:
         df = df.repartition(n_partitions)
     sh = char_shingles(df, id_col, text_col, k)
     sig = minhash_signatures(sh, num_hashes)
     pairs = minhash_lsh_pairs(sig, bands)
+    if verify == "auto":
+        from . import caching
+
+        sh = caching.cache(sh)
+        pairs = caching.cache(pairs)
+        n_pairs = pairs.count()
+        counts = sh.groupBy().agg(
+            F.count(F.lit(1)).alias("n_sh"), F.count_distinct("id").alias("n_docs")
+        ).collect()[0]
+        avg_sh = (counts["n_sh"] / counts["n_docs"]) if counts["n_docs"] else 0.0
+        est_bytes = n_pairs * 2 * avg_sh * 8
+        if est_bytes > max_exact_bytes:
+            import warnings
+
+            warnings.warn(
+                f"jaccard_verify volume estimate {est_bytes / 1e9:.1f} GB exceeds "
+                f"max_exact_bytes={max_exact_bytes / 1e9:.1f} GB "
+                f"({n_pairs} candidate pairs x ~{avg_sh:.0f} shingles/doc); "
+                "falling back to signature_verify (estimate, column 'jaccard_est')",
+                stacklevel=2,
+            )
+            return signature_verify(pairs, sig, threshold)
+        return jaccard_verify(pairs, sh, threshold)
     if verify == "exact":
         return jaccard_verify(pairs, sh, threshold)
     return signature_verify(pairs, sig, threshold)

@@ -36,6 +36,7 @@ from ..operators.dedup import (
     simhash_candidates,
     simhash_from_hashes,
 )
+from ..operators import caching
 from ..operators.joins import asof_join, binned_range_join, semi_filter
 from ..operators.sampling import mix_sources, stratified_sample
 from ..operators.similarity import brute_force_topk, int_centroids, int_planes, ivf_topk, lsh_bucketed_topk
@@ -50,10 +51,22 @@ ORACLE: dict[str, str] = {}
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            # release the PREVIOUS query's registered sketch caches —
+            # queries return lazy frames, so construction time of the
+            # next query is the earliest safe unpersist point; a full
+            # catalog sweep then never accumulates more than one
+            # query's cache blocks (operators/caching.py)
+            caching.release_all()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLE[name] = sql
-        return fn
+        return wrapped
 
     return deco
 
@@ -1158,20 +1171,18 @@ def minhash_neardup_pairs_q(spark, sf_dir):
     0.40/0.45/0.50), so the exact-verify stage stays tiny. Oracle:
     brute-force all-pairs Jaccard. Scale path unchanged: candidates via
     uniform band-hash join, exact verify touches candidates only."""
-    from pyspark.storagelevel import StorageLevel
-
     d = _t(spark, sf_dir, "documents")
     # (id, int64-shingle) rows feed two consumers — the signature agg and
     # the verify stage's candidate semi-join — so cache them once.
     # MEMORY_AND_DISK of 16-byte rows is fine at fixture scale; at 100 TB
     # you'd re-derive instead (the verify stage's semi-join already
     # restricts to candidate ids before its own cache, dedup.py).
-    sh = char_shingles(d, "doc_id", "text", k=5).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
     # the signature table is tiny (docs x 48 longs) but feeds THREE plan
     # branches (band join + both sides of the estimate prune); persisting
     # it avoids recomputing the shingle scan + 48-min agg per branch
     # (11.3s -> 4.1s at sf0.1)
-    sig = minhash_signatures(sh, num_hashes=48).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = caching.cache(minhash_signatures(sh, num_hashes=48))
     cand = minhash_lsh_pairs(sig, bands=16)
     pruned = signature_verify(cand, sig, threshold=0.45).select("id_a", "id_b")
     return jaccard_verify(pruned, sh, threshold_frac=(4, 5))
@@ -1187,14 +1198,12 @@ def simhash_neardup_pairs_q(spark, sf_dir):
     prefilter (cuts sf0.1 candidates ~30x) -> exact Jaccard 4/5 on
     survivors. Same oracle as minhash: the sketch changes the plan,
     not the answer."""
-    from pyspark.storagelevel import StorageLevel
-
     d = _t(spark, sf_dir, "documents")
     # cached for the same two consumers as in minhash_neardup_pairs_q
-    sh = char_shingles(d, "doc_id", "text", k=5).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
     # docs x 1 long — persisted because the chunk self-join reads it on
     # both sides (same rationale as the minhash signature cache)
-    sims = simhash_from_hashes(sh.withColumnRenamed("sh", "th")).persist(StorageLevel.MEMORY_AND_DISK)
+    sims = caching.cache(simhash_from_hashes(sh.withColumnRenamed("sh", "th")))
     close = simhash_candidates(sims, chunks=11, max_hamming=16).select("id_a", "id_b")
     return jaccard_verify(close, sh, threshold_frac=(4, 5))
 
@@ -1229,13 +1238,11 @@ def neardup_clusters_q(spark, sf_dir):
     recursive-CTE reachability over the same pairs. This is the
     operator a 100-TB corpus dedup actually ends with — keep
     is_canonical, drop the rest."""
-    from pyspark.storagelevel import StorageLevel
-
     from ..operators.dedup import neardup_clusters
 
     d = _t(spark, sf_dir, "documents")
-    sh = char_shingles(d, "doc_id", "text", k=5).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(sh, num_hashes=48).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
+    sig = caching.cache(minhash_signatures(sh, num_hashes=48))
     cand = minhash_lsh_pairs(sig, bands=16)
     pruned = signature_verify(cand, sig, threshold=0.45).select("id_a", "id_b")
     pairs = jaccard_verify(pruned, sh, threshold_frac=(4, 5)).select("id_a", "id_b")

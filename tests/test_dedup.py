@@ -164,3 +164,61 @@ def test_ngram_jaccard_pairs(spark, docs):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 1) in got
     assert all(not (a in (4, 5) or b in (4, 5)) for a, b in got)
+
+
+def test_minhash_auto_verify_volume_fallback(spark):
+    """verify='auto' guards the exact-Jaccard stage: oversized docs x
+    many candidates exceed the byte budget -> signature estimate with
+    a disclosed warning (output column jaccard_est); under the budget
+    -> exact path, byte-identical to verify='exact'."""
+    import warnings
+
+    # 40 documents of ~3000 distinct shingles each, all near-dups of one
+    # another => LSH yields O(40^2) candidates; exact verify volume
+    # ~ 780 pairs * 2 * 3000 * 8B ~ 37 MB
+    base = " ".join(f"tok{i:04d}" for i in range(400))
+    rows = [(i, base + f" tail{i}") for i in range(40)]
+    big = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        fb = D.minhash_dedup_pairs(
+            big, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5,
+            verify="auto", max_exact_bytes=1_000_000,
+        )
+        assert any("falling back to signature_verify" in str(w.message) for w in caught)
+    assert "jaccard_est" in fb.columns  # the estimate path, visible in the schema
+    assert fb.count() > 0
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        auto = D.minhash_dedup_pairs(
+            big, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5,
+            verify="auto", max_exact_bytes=10_000_000_000,
+        )
+        assert not any("falling back" in str(w.message) for w in caught)
+    assert "jaccard" in auto.columns
+    exact = D.minhash_dedup_pairs(
+        big, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5, verify="exact"
+    )
+    key = lambda df: sorted((r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in df.collect())
+    assert key(auto) == key(exact)
+
+
+def test_catalog_sweep_releases_sketch_caches(spark):
+    """Two consecutive catalog sweeps must not accumulate cache blocks:
+    building the NEXT query releases the previous query's registered
+    sketch caches (operators/caching.py) — no reliance on the caller
+    calling spark.catalog.clearCache()."""
+    from fec_cn_support_etl_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.001"
+    jsc = spark.sparkContext._jsc.sc()
+    for _ in range(2):
+        catalog.QUERIES["minhash_neardup_pairs"](spark, sf).count()
+        assert jsc.getPersistentRDDs().size() > 0  # the query did cache
+        catalog.QUERIES["simhash_neardup_pairs"](spark, sf).count()
+        # at most ONE query's caches alive at any point in the sweep
+        catalog.QUERIES["dedup_exact_groups"](spark, sf).count()
+    catalog.QUERIES["q1_pricing_summary"](spark, sf)  # plain query construction also releases
+    assert jsc.getPersistentRDDs().size() == 0, "sketch caches leaked across queries"
