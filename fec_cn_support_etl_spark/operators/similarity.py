@@ -261,18 +261,97 @@ def ivf_topk(
     return topk_per_group(scored, ["query_id"], _topk_order(rank_scale), k)
 
 
-def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, bits: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine >= threshold, restricted
-    to same-LSH-bucket candidates (near-dups almost surely collide)."""
-    bucket = hyperplane_bucket_udf(dim, bits, seed)
-    t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn("bucket", bucket(F.col("v")))
+def _cos_micro(a, b):
+    """Cosine quantized to integer micro-units: floor(cos * 1e6) — the
+    same quantizer as the ANN rank keys (_qcos rationale in
+    plans/catalog.py): thresholds and emitted values are insensitive to
+    sub-1e-6 float divergence between engines."""
+    return F.floor(cosine_col(a, b) * F.lit(1_000_000.0)).cast("long")
+
+
+def cosine_neardup_exact(
+    df: DataFrame, id_col: str, vec_col: str, threshold_micro: int
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT: every (id_a < id_b) pair
+    with floor(cosine * 1e6) >= threshold_micro.
+
+    All-pairs by construction — the small-corpus / ground-truth path
+    (the analogue of word_jaccard_pairs for the embedding modality);
+    ``cosine_neardup_chunked`` is the scale path. Output:
+    (id_a, id_b, cos_micro)."""
+    t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a, b = t.alias("a"), t.alias("b")
     return (
-        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")])
+        a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            _cos_micro(F.col("a.v"), F.col("b.v")).alias("cos_micro"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("cos_micro") >= F.lit(int(threshold_micro)))
+    )
+
+
+def cosine_neardup_chunked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes,
+    chunks: int,
+    threshold_micro: int,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: sign-signature chunk
+    buckets generate candidates, exact cosine verifies them.
+
+    Each row's ``bits``-bit hyperplane signature (FP-exact via
+    ``int_planes`` — see module docstring) splits into ``chunks``
+    groups; rows sharing ANY chunk value become a candidate pair
+    (equi-join per chunk — never a cross product). Pigeonhole: a true
+    pair is missed only if every chunk differs, so pairs within
+    signature-Hamming <= chunks-1 are captured with CERTAINTY; the
+    only probabilistic step is cosine -> signature Hamming
+    (P[bit differs] = theta/pi per plane), which concentrates hard for
+    genuine near-dups (cos >= 0.9 at 24 bits: E[Hamming] ~ 3.4).
+    Verify touches candidates only, with the same integer-micro
+    threshold as the exact path — on captured pairs the two paths are
+    bit-identical.
+
+    Scale shape: one shuffle of (chunk, value)-keyed signature rows;
+    join keys are hashes (uniform, skew-free); the quadratic blowup is
+    bounded per bucket, exactly the MinHash-LSH economics."""
+    bits = len(planes)
+    width = bits // chunks
+    assert width * chunks == bits, "chunks must divide len(planes)"
+    t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sig = t.withColumn("bucket", hyperplane_bucket_expr(F.col("v"), planes))
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("bucket"), c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    ct = sig.select("id", F.explode(chunk_arr).alias("c")).select("id", "c.chunk", "c.val")
+    cand = (
+        ct.alias("a")
+        .join(
+            ct.alias("b"),
+            on=[
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.val") == F.col("b.val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = t.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = t.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", _cos_micro(F.col("va"), F.col("vb")).alias("cos_micro"))
+        .filter(F.col("cos_micro") >= F.lit(int(threshold_micro)))
     )

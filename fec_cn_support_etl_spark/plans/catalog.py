@@ -1431,6 +1431,33 @@ def ann_ivf_topk_q(spark, sf_dir):
 
 
 @_q(
+    "embedding_cosine_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 1000000) AS BIGINT) >= 400200
+    """,
+)
+def embedding_cosine_neardup_q(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup
+    family member next to MinHash/SimHash (text) and exact-hash:
+    every (id_a < id_b) pair with cosine >= 0.4002 (integer-micro
+    threshold; the fixture's cosine distribution has a 7e-4-wide gap
+    there, ~700x the cross-engine float jitter, so membership is
+    engine-exact; the emitted columns are the membership pairs — the
+    dedup deliverable). This is the exact all-pairs path, honest
+    ground truth at fixture scale; the scale path is
+    cosine_neardup_chunked (sign-signature chunk buckets -> exact
+    cosine verify on candidates only, pigeonhole-guaranteed capture to
+    signature-Hamming chunks-1), recall-pinned on planted near-dups in
+    tests/test_similarity.py."""
+    from ..operators.similarity import cosine_neardup_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_exact(emb, "vec_id", "embedding", 400200).select("id_a", "id_b")
+
+
+@_q(
     "doc_fingerprints",
     """
     WITH g AS (

@@ -137,7 +137,48 @@ def test_ivf_topk_recall_and_exhaustive_probe(spark, emb, emb_np):
 def test_embedding_neardup_finds_duplicated_vectors(spark, emb):
     dup = emb.filter(F.col("vec_id") < 3).withColumn("vec_id", F.col("vec_id") + 100000)
     with_dups = emb.unionByName(dup)
-    pairs = S.embedding_neardup_pairs(with_dups, "vec_id", "embedding", threshold=0.999, bits=4, dim=64)
+    planes = S.int_planes(dim=64, bits=24, seed=3)
+    pairs = S.cosine_neardup_chunked(
+        with_dups, "vec_id", "embedding", planes, chunks=6, threshold_micro=999_000
+    )
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact copies share every signature chunk — capture is certain
     for q in (0, 1, 2):
         assert (q, q + 100000) in got
+
+
+def test_cosine_neardup_chunked_captures_planted(spark):
+    """The scale path for embedding near-dup: planted near-identical
+    vectors (cos >= ~0.99) must ALL surface through the chunk-bucket
+    candidates (pigeonhole capture to signature-Hamming <= chunks-1;
+    at 24 bits / cos 0.99 the expected Hamming is ~1), with values
+    bit-identical to the exact path on captured pairs, and the
+    candidate set must be far smaller than all-pairs."""
+    import numpy as np
+
+    from fec_cn_support_etl_spark.operators.similarity import (
+        cosine_neardup_chunked,
+        cosine_neardup_exact,
+        int_planes,
+    )
+
+    rs = np.random.RandomState(7)
+    base = rs.randn(200, 32).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    planted = []
+    for j in range(30):  # near-dup copies of the first 30 vectors
+        dup = base[j] + rs.randn(32).astype("float32") * 0.02
+        rows.append((1000 + j, dup.tolist()))
+        planted.append((j, 1000 + j))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    planes = int_planes(dim=32, bits=24, seed=3)
+    exact = {(r["id_a"], r["id_b"]): r["cos_micro"]
+             for r in cosine_neardup_exact(emb, "vec_id", "embedding", 950_000).collect()}
+    chunked = {(r["id_a"], r["id_b"]): r["cos_micro"]
+               for r in cosine_neardup_chunked(emb, "vec_id", "embedding", planes, chunks=6, threshold_micro=950_000).collect()}
+    assert set(planted) <= set(exact), "fixture broke: planted pairs not above threshold"
+    assert set(planted) <= set(chunked), "chunk buckets missed a planted near-dup"
+    assert set(chunked) <= set(exact)  # verify stage: no false positives
+    for p in chunked:
+        assert chunked[p] == exact[p]  # captured pairs bit-identical
