@@ -240,3 +240,28 @@ def test_time_rollup_single_pass(spark):
     assert "Expand" in p
     tree = p.split("(1) Scan")[0]
     assert tree.count("Exchange") == 1
+
+
+def test_q15_max_attached_by_broadcast_not_window(spark):
+    """The quarterly max must attach as a broadcast 1-row aggregate:
+    an unpartitioned window would sort every supplier's revenue in one
+    task (same rule the skew kit enforces for detect_hot_keys)."""
+    p = plan(spark, "q15_top_supplier")
+    assert "Window" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_q22_uses_anti_join_and_broadcast_average(spark):
+    """NOT EXISTS must lower to a left-anti join (never a per-row
+    subquery), and the above-average cutoff attaches as a broadcast
+    1-row aggregate, not a window."""
+    p = plan(spark, "q22_sales_opportunity")
+    assert "LeftAnti" in p
+    assert "Window" not in p
+
+
+def test_q7_nation_dims_broadcast(spark):
+    """Both nation join instances are constant-size dims — they must
+    broadcast; the fact side must never be broadcast."""
+    p = plan(spark, "q7_volume_shipping")
+    assert p.count("BroadcastHashJoin") >= 2
