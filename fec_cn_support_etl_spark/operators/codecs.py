@@ -1,10 +1,13 @@
-"""Pure-numpy codecs for container-less media formats.
+"""Pure-numpy codecs for formats the stdlib can fully express.
 
-The sandbox has no PIL/librosa/av, but two real formats need none:
-uncompressed 24-bit BMP (BITMAPINFOHEADER + raw BGR rows) and PCM
-16-bit WAV (RIFF header + raw samples). Implementing them makes the
-multimodal decode path REAL for those formats — header parse, stride
-handling, channel order, row flip — while compressed formats (jpeg,
+The sandbox has no PIL/librosa/av, but three real formats need none:
+uncompressed 24-bit BMP (BITMAPINFOHEADER + raw BGR rows), PCM 16-bit
+WAV (RIFF header + raw samples), and 8-bit PNG — stdlib zlib IS a
+complete DEFLATE codec, so PNG (zlib-compressed filtered scanlines +
+CRC chunks) decodes for real, including all five scanline filters.
+Implementing them makes the multimodal decode path REAL for those
+formats — header parse, stride handling, channel order, row flip,
+filter reconstruction — while formats needing codec libraries (jpeg,
 mp3, mp4) stay honestly NotImplementedError (operators/multimodal.py).
 
 Everything is deterministic byte math, so encode->decode roundtrips
@@ -89,6 +92,115 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             return samples.copy(), sample_rate
         pos += 8 + size + (size & 1)
     raise ValueError("WAV data chunk not found")
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 image -> PNG bytes. (h, w) gray, (h, w, 3) RGB, or
+    (h, w, 4) RGBA; 8-bit, non-interlaced, filter 0 scanlines, one
+    zlib-deflated IDAT. stdlib zlib is a full DEFLATE implementation,
+    so this is a REAL spec-conformant PNG, not a stub."""
+    import zlib
+
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_png expects uint8 (h,w)[,channels]")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    channels = img.shape[2]
+    color_type = {1: 0, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.concatenate([np.zeros((h, 1), np.uint8), img.reshape(h, w * channels)], axis=1)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline PNG filters (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth). Sub/Average/Paeth recur on the left neighbor, so the
+    inner loop is sequential per row — fine for the fixture sizes this
+    runs at; a production decoder would JIT or C this."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:
+            rec = (line + prev) & 0xFF
+        else:
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                elif f == 4:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                else:
+                    raise NotImplementedError(f"PNG filter type {f}")
+                rec[x] = (line[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 (h, w, channels) array. Supports 8-bit
+    grayscale / RGB / RGBA, non-interlaced, all five scanline filters,
+    multi-IDAT streams; palette, 16-bit, and interlaced variants raise
+    honestly."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB(A) non-interlaced PNG supported "
+            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+        )
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    img = _png_unfilter(raw.reshape(h, stride + 1), h, stride, channels)
+    return img.reshape(h, w, channels).copy()
 
 
 def image_features(rgb: np.ndarray, grid: int = 2) -> np.ndarray:

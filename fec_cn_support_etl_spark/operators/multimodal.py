@@ -78,13 +78,22 @@ def _fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
 
 
 def _real_decode_features(modality: str, payload: bytes) -> np.ndarray:
-    """REAL decode for the container-less formats (operators/codecs.py:
-    uncompressed 24-bit BMP, mono PCM-16 WAV — pure numpy, no external
-    libs). Compressed containers (jpeg/mp3/mp4) raise — honestly
-    unsupported in this environment."""
-    from .codecs import audio_features, decode_bmp, decode_wav, image_features
+    """REAL decode for the stdlib-expressible formats
+    (operators/codecs.py: uncompressed 24-bit BMP, 8-bit PNG via
+    stdlib zlib, mono PCM-16 WAV — pure numpy, no external libs).
+    Image format dispatches on magic bytes. Formats needing codec
+    libraries (jpeg/mp3/mp4) raise — honestly unsupported in this
+    environment."""
+    from .codecs import audio_features, decode_bmp, decode_png, decode_wav, image_features
 
     if modality == "image":
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(payload)
+            if img.shape[2] == 1:  # gray -> replicate to RGB for the feature grid
+                img = np.repeat(img, 3, axis=2)
+            elif img.shape[2] == 4:  # drop alpha
+                img = img[:, :, :3]
+            return image_features(img)
         return image_features(decode_bmp(payload))
     if modality == "audio":
         return audio_features(*decode_wav(payload))

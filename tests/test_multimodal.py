@@ -104,3 +104,98 @@ def test_real_decode_features_through_spark(spark):
     vid = spark.createDataFrame([(2, "video", bytearray(b"\x00" * 64), None, None, None, 30)], MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|container codec"):
         extract_features(vid, fake=False).collect()
+
+
+def test_png_codec_roundtrip_and_filters():
+    """encode_png -> decode_png is exact for gray/RGB/RGBA; the decoder
+    reconstructs ALL five scanline filter types (our encoder emits
+    filter 0 only, so filters 1-4 are exercised via a hand-built
+    forward-filtered PNG), and unsupported variants raise honestly."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from fec_cn_support_etl_spark.operators.codecs import (
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape in [(5, 7), (6, 4, 3), (3, 5, 4)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        back = decode_png(encode_png(img))
+        want = img[:, :, None] if img.ndim == 2 else img
+        assert (back == want).all(), shape
+
+    # forward-filter a known RGB image with filters 1..4 (+0) per row
+    img = rng.randint(0, 256, (5, 6, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    lines = []
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, np.int32)
+        filt = np.zeros(w * ch, np.int32)
+        for x in range(w * ch):
+            left = cur[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            filt[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png(payload) == img).all()
+
+    # honest boundaries: 16-bit depth rejected
+    bad_ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", bad_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (h * (w * 6 + 1))))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(bad)
+
+
+def test_png_real_decode_through_spark(spark):
+    """PNG payloads flow through the SAME fake=False mapInPandas path
+    as BMP (magic-byte dispatch), with identical features for identical
+    pixels — the codec changes the container, not the features."""
+    import numpy as np
+
+    from fec_cn_support_etl_spark.operators.codecs import encode_bmp, encode_png
+    from fec_cn_support_etl_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (8, 6, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(encode_png(img)), 6, 8, None, None),
+            (1, "image", bytearray(encode_bmp(img)), 6, 8, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in extract_features(media, fake=False).collect()}
+    assert rows[0].feature == rows[1].feature  # same pixels, same features
+    assert rows[0].payload_sha256 != rows[1].payload_sha256  # different containers
