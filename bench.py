@@ -49,6 +49,24 @@ CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_CDC_EVENTS", "400000"))
 CDC_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_CDC_EPOCHS", "4"))
 
 
+def _steal_sample(dur_sec: float = 2.0) -> float | None:
+    """One hypervisor-steal reading over ``dur_sec`` — recorded into the
+    bench JSON so a noisy-host artifact is distinguishable from a real
+    regression without rerunning (BENCH.md documents 3-10x episodes)."""
+    try:
+        def _read():
+            with open("/proc/stat") as f:
+                return list(map(int, f.readline().split()[1:]))
+
+        a = _read()
+        time.sleep(dur_sec)
+        b = _read()
+        d = [y - x for x, y in zip(a, b)]
+        return round(100.0 * d[7] / (sum(d) or 1), 2)
+    except Exception:
+        return None
+
+
 def _quiet_gate(max_wait_sec: int = 120) -> None:
     """Best-effort wait for a low-steal window (this host shows
     minute-scale hypervisor contention episodes that inflate any single
@@ -125,13 +143,16 @@ def main():
     ).save()
 
     _quiet_gate()
+    steal = [_steal_sample()]
     queries = {}
     for name in HEADLINE:
         queries[name] = round(time_query(spark, catalog.QUERIES[name], sf_dir), 3)
     total = sum(queries.values())
+    steal.append(_steal_sample())
 
     _quiet_gate()
     cdc = cdc_bench(spark, CDC_EVENTS, CDC_EPOCHS)
+    steal.append(_steal_sample())
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline query wall time (best-of-2 per query) at sf + CDC upsert throughput",
@@ -141,6 +162,9 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc": cdc,
         "cpus": int(cpus),
+        # steal%, sampled (start of queries, end of queries, end of cdc):
+        # readings >~3 mean a contention episode inflated the numbers
+        "host_steal_pct": steal,
     }
     print(json.dumps(out))
     spark.stop()

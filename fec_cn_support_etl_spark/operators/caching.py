@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _REGISTRY: list[DataFrame] = []
+_DEFERRED: list = []
 
 
 def cache(df: DataFrame, storage_level=None) -> DataFrame:
@@ -33,12 +34,26 @@ def cache(df: DataFrame, storage_level=None) -> DataFrame:
     return df
 
 
+def defer(fn) -> None:
+    """Run ``fn`` at the next :func:`release_all` sweep — for non-cache
+    resources with the same consumed-by-then lifetime (e.g. a streaming
+    query's scratch dir that the returned frame still reads from)."""
+    _DEFERRED.append(fn)
+
+
 def release_all() -> None:
-    """Unpersist every registered intermediate (non-blocking). Safe to
-    call at any time; already-released frames are no-ops."""
+    """Unpersist every registered intermediate and run deferred
+    cleanups (non-blocking). Safe to call at any time; already-released
+    frames are no-ops."""
     while _REGISTRY:
         df = _REGISTRY.pop()
         try:
             df.unpersist()
         except Exception:
             pass  # session torn down; nothing to release
+    while _DEFERRED:
+        fn = _DEFERRED.pop()
+        try:
+            fn()
+        except Exception:
+            pass

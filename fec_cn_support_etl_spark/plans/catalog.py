@@ -1500,11 +1500,16 @@ def stream_neardup_pairs_q(spark, sf_dir):
     prune, and exact verify are per-doc deterministic, so the union of
     emissions is bit-identical to the batch pipeline and the SAME
     brute-force Jaccard oracle applies."""
+    import shutil
     import tempfile
 
     from ..streaming.neardup import stream_neardup_pairs
 
     work = tempfile.mkdtemp(prefix="stream-neardup-")
+    # the returned frame reads the emitted pairs from ``work``, so the
+    # scratch dir is reclaimed at the next catalog-query construction
+    # (same consumed-by-then lifetime as the sketch caches)
+    caching.defer(lambda: shutil.rmtree(work, ignore_errors=True))
     return stream_neardup_pairs(spark, f"{sf_dir}/documents.parquet", work)
 
 
