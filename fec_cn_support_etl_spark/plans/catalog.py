@@ -414,6 +414,80 @@ def window_running_sum(spark, sf_dir):
 
 
 @_q(
+    "window_rank_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           dense_rank() OVER w AS drank,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS prank,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WHERE o_custkey < 300
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def window_rank_functions(spark, sf_dir):
+    """Ranking-window family in one pass: dense_rank / ntile /
+    percent_rank / cume_dist over a shared window spec. The ordering
+    key is made TOTAL with the o_orderkey tiebreak, so every rank is
+    engine-deterministic; percent_rank/cume_dist are small-integer
+    ratios k/(n-1), k/n — both engines derive the identical double
+    from identical integers (single IEEE divide, the standard parity
+    recipe). One Window node in the plan: all four functions share the
+    partition+sort."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.dense_rank().over(w).alias("drank"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("prank"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+    )
+
+
+@_q(
+    "window_first_last_nth",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           last_value(o_orderkey) OVER w AS priciest_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WHERE o_custkey < 300
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark, sf_dir):
+    """first/last/nth_value over an explicit UNBOUNDED frame — the
+    frame spec matters: last_value over the DEFAULT frame (unbounded
+    preceding..current row) is just the current row, a classic window
+    bug this query pins against. Total ordering via the orderkey
+    tiebreak; integer outputs, no float parity concerns."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("cheapest_key"),
+            F.last("o_orderkey").over(w).alias("priciest_key"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        )
+    )
+
+
+@_q(
     "set_algebra_intersect",
     """
     SELECT user_id FROM events WHERE event_type = 'purchase'

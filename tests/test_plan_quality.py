@@ -265,3 +265,16 @@ def test_q7_nation_dims_broadcast(spark):
     broadcast; the fact side must never be broadcast."""
     p = plan(spark, "q7_volume_shipping")
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_rank_functions_share_one_window(spark):
+    """dense_rank/ntile/percent_rank/cume_dist share one window spec —
+    the plan must contain exactly ONE Window node (one partition+sort
+    pass), not one per function."""
+    p = plan(spark, "window_rank_functions")
+    assert p.count("(") > 0 and p.count("Window") >= 1
+    # formatted explain prints one numbered Window operator per node
+    import re
+
+    nodes = re.findall(r"\(\d+\) Window", p)
+    assert len(nodes) == 1, f"expected 1 Window node, plan has {len(nodes)}"
