@@ -1069,7 +1069,10 @@ def q15_top_supplier(spark, sf_dir):
     are engine-exact."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    revenue = (
+    # the supplier-count-sized revenue relation feeds TWO consumers
+    # (the filter side and the broadcast max); cached so the quarterly
+    # lineitem scan+agg runs once, not once per branch
+    revenue = caching.cache(
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
