@@ -151,6 +151,14 @@ class PreparedEpoch:
     touched: list[int] | None  # None => discovered post-write (MOR)
     t_start: float
     bucket_stats: list = None  # per-bucket (partition) lineage rows
+    # the layout `touched`/`bucket_stats` were derived under, plus the
+    # raw batch — commit_epoch re-derives the touched set if a foreign
+    # rebucket() changed n_buckets between prepare and commit (the COW
+    # twin of commit_append_delta's 'layout changed' guard: a stale
+    # touched list would read the wrong bucket subset and silently
+    # drop rows whose new bucket falls outside it)
+    n_buckets: int = 0
+    batch: DataFrame = None
 
 
 def prepare_epoch(
@@ -200,7 +208,10 @@ def prepare_epoch(
                 r[0]
                 for r in batch.select(bucket_expr(KEYS, n_buckets).alias(BUCKET_COL)).distinct().collect()
             )
-        return PreparedEpoch(epoch=epoch, winners=winners, stats=None, touched=touched, t_start=t0)
+        return PreparedEpoch(
+            epoch=epoch, winners=winners, stats=None, touched=touched, t_start=t0,
+            n_buckets=n_buckets, batch=batch,
+        )
     winners.persist()
     bucket_stats = winners.groupBy(BUCKET_COL).agg(
         F.count("*").alias("n_keys"),
@@ -218,7 +229,8 @@ def prepare_epoch(
     }
     touched = sorted(r[BUCKET_COL] for r in bucket_stats)
     return PreparedEpoch(
-        epoch=epoch, winners=winners, stats=stats, touched=touched, t_start=t0, bucket_stats=bucket_stats
+        epoch=epoch, winners=winners, stats=stats, touched=touched, t_start=t0,
+        bucket_stats=bucket_stats, n_buckets=n_buckets, batch=batch,
     )
 
 
@@ -276,12 +288,26 @@ def commit_epoch(
     from .table import CommitConflict, EpochAlreadyApplied
 
     epoch, winners, stats, touched, t0 = prep.epoch, prep.winners, prep.stats, prep.touched, prep.t_start
+    bucket_stats = prep.bucket_stats
     try:
         for attempt in range(3):
             snap = table.current_snapshot()
             if snap.is_applied(epoch):
                 # the competing writer applied our epoch — manifest no-op
                 return ApplyResult(epoch=epoch, skipped=True)
+            if touched is not None and prep.n_buckets and snap.n_buckets != prep.n_buckets:
+                # foreign rebucket() between prepare and commit: the
+                # touched list (and per-bucket lineage) were derived
+                # under the OLD bucket hash — re-derive from the raw
+                # batch keys under the fresh layout; bucket_expr inside
+                # the commit fns already uses snap.n_buckets
+                touched = sorted(
+                    r[0]
+                    for r in prep.batch.select(
+                        bucket_expr(KEYS, snap.n_buckets).alias(BUCKET_COL)
+                    ).distinct().collect()
+                )
+                bucket_stats = None  # stale bucket ids; epoch-level stats stay valid
             try:
                 commit_fn = _append_and_commit if mode == "mor" else _merge_and_commit
                 new_snap, lineage = commit_fn(spark, table, snap, winners, stats, touched, epoch)
@@ -319,7 +345,7 @@ def commit_epoch(
     if metrics_dir:
         from .metrics import write_epoch_metrics
 
-        write_epoch_metrics(spark, metrics_dir, res, bucket_stats=prep.bucket_stats)
+        write_epoch_metrics(spark, metrics_dir, res, bucket_stats=bucket_stats)
     return res
 
 

@@ -21,7 +21,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _REGISTRY: list[DataFrame] = []
-_DEFERRED: list = []
+
+# FIFO backstop for callers that never construct a catalog query (the
+# operator API used directly in a long-lived session): registrations
+# beyond this bound release the OLDEST entries at cache() time. A
+# single query registers a handful of frames, so the bound never fires
+# inside one query's multi-consumer lifetime; without it the strong
+# references here would pin cache blocks forever (the ContextCleaner
+# cannot reclaim what the registry still holds).
+MAX_REGISTERED = 16
 
 
 def cache(df: DataFrame, storage_level=None) -> DataFrame:
@@ -31,29 +39,21 @@ def cache(df: DataFrame, storage_level=None) -> DataFrame:
 
     df = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     _REGISTRY.append(df)
+    while len(_REGISTRY) > MAX_REGISTERED:
+        old = _REGISTRY.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     return df
 
 
-def defer(fn) -> None:
-    """Run ``fn`` at the next :func:`release_all` sweep — for non-cache
-    resources with the same consumed-by-then lifetime (e.g. a streaming
-    query's scratch dir that the returned frame still reads from)."""
-    _DEFERRED.append(fn)
-
-
 def release_all() -> None:
-    """Unpersist every registered intermediate and run deferred
-    cleanups (non-blocking). Safe to call at any time; already-released
-    frames are no-ops."""
+    """Unpersist every registered intermediate (non-blocking). Safe to
+    call at any time; already-released frames are no-ops."""
     while _REGISTRY:
         df = _REGISTRY.pop()
         try:
             df.unpersist()
         except Exception:
             pass  # session torn down; nothing to release
-    while _DEFERRED:
-        fn = _DEFERRED.pop()
-        try:
-            fn()
-        except Exception:
-            pass

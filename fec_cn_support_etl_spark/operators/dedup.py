@@ -203,10 +203,13 @@ def minhash_dedup_pairs(
 
     ``verify="auto"`` guards the exact path against pathological
     corpora (huge docs x many candidates): it estimates the verify-join
-    shuffle volume as ``|pairs| * 2 * avg_shingles_per_doc * 8B`` from
-    two cheap counts, and falls back to the signature estimate —
-    disclosed via a warning, and visible in the output schema
-    (``jaccard_est`` vs ``jaccard``) — when it exceeds
+    shuffle volume as ``|pairs| * 2 * avg_shingles_per_CANDIDATE_doc *
+    8B`` — the average is taken over the docs actually appearing in
+    candidate pairs (semi-join), not the whole corpus, so a skewed
+    corpus where candidates concentrate on the huge docs cannot sneak
+    under the guard — and falls back to the signature estimate,
+    disclosed via a warning and visible in the output schema
+    (``jaccard_est`` vs ``jaccard``), when it exceeds
     ``max_exact_bytes``. At 100 TB an unguarded exact verify on a bad
     candidate set is an OOM, not a slow query."""
     if n_partitions:
@@ -220,7 +223,12 @@ def minhash_dedup_pairs(
         sh = caching.cache(sh)
         pairs = caching.cache(pairs)
         n_pairs = pairs.count()
-        counts = sh.groupBy().agg(
+        cand_ids = (
+            pairs.select(F.col("id_a").alias("id"))
+            .unionByName(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        counts = sh.join(cand_ids, "id", "left_semi").groupBy().agg(
             F.count(F.lit(1)).alias("n_sh"), F.count_distinct("id").alias("n_docs")
         ).collect()[0]
         avg_sh = (counts["n_sh"] / counts["n_docs"]) if counts["n_docs"] else 0.0

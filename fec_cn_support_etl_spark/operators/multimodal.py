@@ -89,8 +89,8 @@ def _real_decode_features(modality: str, payload: bytes) -> np.ndarray:
     if modality == "image":
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             img = decode_png(payload)
-            if img.shape[2] == 1:  # gray -> replicate to RGB for the feature grid
-                img = np.repeat(img, 3, axis=2)
+            if img.shape[2] in (1, 2):  # gray / gray+alpha -> replicate luma to RGB
+                img = np.repeat(img[:, :, :1], 3, axis=2)
             elif img.shape[2] == 4:  # drop alpha
                 img = img[:, :, :3]
             return image_features(img)

@@ -1583,11 +1583,16 @@ def stream_neardup_pairs_q(spark, sf_dir):
     from ..streaming.neardup import stream_neardup_pairs
 
     work = tempfile.mkdtemp(prefix="stream-neardup-")
-    # the returned frame reads the emitted pairs from ``work``, so the
-    # scratch dir is reclaimed at the next catalog-query construction
-    # (same consumed-by-then lifetime as the sketch caches)
-    caching.defer(lambda: shutil.rmtree(work, ignore_errors=True))
-    return stream_neardup_pairs(spark, f"{sf_dir}/documents.parquet", work)
+    try:
+        # the stream already ran to completion (availableNow) inside
+        # stream_neardup_pairs; localCheckpoint materializes the small
+        # pair set into block storage, detaching the returned frame
+        # from the scratch dir so it can be reclaimed immediately —
+        # the blocks themselves are freed by the ContextCleaner when
+        # the frame is garbage collected
+        return stream_neardup_pairs(spark, f"{sf_dir}/documents.parquet", work).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # Integer-entry hyperplanes: dot products are exactly representable in

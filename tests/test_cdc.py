@@ -512,3 +512,27 @@ def test_type_widening_mid_stream(spark, tmp_path, mode):
     # incompatible change still refuses
     with pytest.raises(SchemaEvolutionError):
         reconcile(t.schema(), T.StructType([T.StructField("size_bytes", T.StringType())]))
+
+
+def test_cow_rebucket_between_prepare_and_commit_rederives_touched(spark, wal, tmp_path):
+    """COW twin of the MOR 'layout changed' guard: a foreign rebucket()
+    between prepare_epoch and commit_epoch invalidates the prepared
+    touched-bucket list (old hash). commit_epoch must re-derive it
+    under the fresh layout — a stale list would read the wrong bucket
+    subset and silently drop every row whose new bucket falls outside
+    it."""
+    from fec_cn_support_etl_spark.cdc import engine
+
+    d = str(tmp_path / "lake")
+    runner.replay(spark, wal, d, n_buckets=8, stop_after=1, log=lambda *_: None)
+    t = LakeTable(spark, d)
+    batch = spark.read.parquet(os.path.join(wal, "epoch=1"))
+    prep = engine.prepare_epoch(spark, t, batch, "1")  # touched derived under 8 buckets
+    assert prep is not None and prep.n_buckets == 8
+    t.rebucket(16)  # the foreign structural change
+    res = engine.commit_epoch(spark, t, prep, mode="cow")
+    assert not res.skipped and res.n_keys > 0
+    runner.replay(spark, wal, d, n_buckets=16, log=lambda *_: None)  # finish the feed
+    clean = str(tmp_path / "clean")
+    runner.replay(spark, wal, clean, n_buckets=8, log=lambda *_: None)
+    assert state_digest(table_state(spark, d)) == state_digest(table_state(spark, clean))

@@ -199,3 +199,33 @@ def test_png_real_decode_through_spark(spark):
     rows = {r.media_id: r for r in extract_features(media, fake=False).collect()}
     assert rows[0].feature == rows[1].feature  # same pixels, same features
     assert rows[0].payload_sha256 != rows[1].payload_sha256  # different containers
+
+
+def test_png_gray_alpha_features_match_gray(spark):
+    """color_type 4 (gray+alpha) must featurize like its luma — a
+    2-channel array leaking into image_features would silently emit
+    8-dim vectors next to everyone else's 16... i.e., 10-dim ones."""
+    import numpy as np
+
+    from fec_cn_support_etl_spark.operators.multimodal import _real_decode_features
+    from fec_cn_support_etl_spark.operators.codecs import _png_chunk
+    import struct, zlib
+
+    rng = np.random.RandomState(9)
+    gray = rng.randint(0, 256, (6, 5), dtype=np.uint8)
+    alpha = np.full((6, 5), 255, dtype=np.uint8)
+    ga = np.stack([gray, alpha], axis=2)
+    h, w, ch = ga.shape
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(h))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    from fec_cn_support_etl_spark.operators.codecs import encode_png
+
+    got = _real_decode_features("image", payload)
+    want = _real_decode_features("image", encode_png(gray))
+    assert len(got) == len(want) == 10
+    assert (got == want).all()
