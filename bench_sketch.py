@@ -40,7 +40,7 @@ from fec_cn_support_etl_spark.operators.dedup import (
     char_shingles, minhash_signatures, minhash_lsh_pairs, signature_verify, jaccard_verify,
 )
 
-spark = get_spark(master="local[{cores}]", shuffle_partitions={cores})
+spark = get_spark(master="local[{cores}]", shuffle_partitions={shuffle})
 corpus = spark.read.parquet({corpus!r})
 n_docs = corpus.count()
 
@@ -79,13 +79,22 @@ spark.stop()
 """
 
 
-def run_trial(corpus_dir: str, cores: int) -> dict:
-    code = _RUN_CODE.format(repo=REPO, cores=cores, corpus=corpus_dir)
+def run_trial(corpus_dir: str, cores: int, docs: int) -> dict:
+    # Partition count must track DATA VOLUME, not core count: at 500k
+    # docs the shingle relation is ~100M rows, and shuffle_partitions=2
+    # (cores) puts ~50M rows in one partition — executor OOM. Few cores
+    # simply work through more (right-sized) partitions sequentially;
+    # this is exactly the sizing rule a 100 TB job follows.
+    shuffle = max(cores, docs // 10_000)
+    code = _RUN_CODE.format(repo=REPO, cores=cores, corpus=corpus_dir, shuffle=shuffle)
     out = subprocess.run(
         [sys.executable, "-c", code],
-        check=True, cwd=REPO, capture_output=True, text=True,
+        check=False, cwd=REPO, capture_output=True, text=True,
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"trial at local[{cores}] failed (rc={out.returncode})")
     last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(last)
 
@@ -116,9 +125,9 @@ spark.stop()
         lows, highs = [], []
         for _ in range(a.trials):  # interleave trials (time-varying CPU steal)
             wait_for_quiet_host()
-            lows.append(run_trial(corpus_dir, a.low))
+            lows.append(run_trial(corpus_dir, a.low, a.docs))
             wait_for_quiet_host()
-            highs.append(run_trial(corpus_dir, a.high))
+            highs.append(run_trial(corpus_dir, a.high, a.docs))
         r_low = max(lows, key=lambda r: r["docs_per_sec"])
         r_high = max(highs, key=lambda r: r["docs_per_sec"])
         for r in lows + highs:  # throughput is meaningless if the job missed pairs
