@@ -243,6 +243,7 @@ def apply_epoch(
     use_pandas_udf: bool = True,
     metrics_dir: str | None = None,
     mode: str = "cow",
+    eager_stats: bool | None = None,
 ) -> ApplyResult:
     """Apply one epoch of change events. Idempotent by manifest check.
 
@@ -254,6 +255,11 @@ def apply_epoch(
     delta files (write cost O(batch), reads resolve LWW over
     base+deltas until ``table.compact()`` folds them) — pick by
     workload, exactly like Iceberg's write.update.mode.
+
+    ``eager_stats=None`` (default) picks the lazy Observation path
+    unless per-bucket metrics are requested; pass True from execution
+    contexts where CollectMetrics listener events don't fire (e.g.
+    foreachBatch — see streaming/pipeline.py).
     """
     prep = prepare_epoch(
         spark,
@@ -262,7 +268,8 @@ def apply_epoch(
         epoch,
         n_salts=n_salts,
         use_pandas_udf=use_pandas_udf,
-        eager_stats=metrics_dir is not None,  # per-bucket lineage rows need the stats job
+        # per-bucket lineage rows need the stats job
+        eager_stats=(metrics_dir is not None) if eager_stats is None else eager_stats,
         mode=mode,
     )
     if prep is None:
@@ -349,29 +356,54 @@ def commit_epoch(
     return res
 
 
-def _epoch_observation(batch_rows):
-    """Attach epoch-stat metrics to the commit's OWN write job: count,
-    delete count, lsn range — the same numbers the eager stats job
-    computes, for free (CollectMetrics evaluates inside the existing
-    scan). Fresh Observation per attempt: an Observation binds to one
-    action. Returns (observed_df, memoized_lineage_fn)."""
-    from pyspark.sql import Observation
-
+def _stat_exprs():
     from .table import DELETED_COL
 
-    obs = Observation()
-    observed = batch_rows.observe(
-        obs,
+    return [
         F.count(F.lit(1)).alias("n_keys"),
         F.sum(F.when(F.col(DELETED_COL), 1).otherwise(0)).alias("n_deletes"),
         F.min("lsn").alias("min_lsn"),
         F.max("lsn").alias("max_lsn"),
-    )
+    ]
+
+
+def _epoch_observation(batch_rows, obs_timeout_sec: float = 60.0):
+    """Attach epoch-stat metrics to the commit's OWN write job: count,
+    delete count, lsn range — the same numbers the eager stats job
+    computes, for free (CollectMetrics evaluates inside the existing
+    scan). Fresh Observation per attempt: an Observation binds to one
+    action. Returns (observed_df, memoized_lineage_fn).
+
+    Safety net: ``Observation.get`` relies on a QueryExecutionListener
+    event that some embedded execution contexts never deliver (actions
+    run inside a Structured Streaming foreachBatch are the known case —
+    the streaming ingest therefore uses eager stats instead,
+    streaming/pipeline.py). If the metrics have not arrived within
+    ``obs_timeout_sec`` of the write finishing, the stats are
+    recomputed with a direct aggregate job — one extra job in a
+    pathological context beats a silent infinite hang."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = batch_rows.observe(obs, *_stat_exprs())
     memo = {}
 
     def lineage_fn():
         if not memo:
-            m = obs.get  # blocks until the write action finished
+            import threading
+
+            box = {}
+
+            def _wait():
+                try:
+                    box.update(obs.get)
+                except Exception:
+                    pass
+
+            th = threading.Thread(target=_wait, daemon=True, name="epoch-obs-wait")
+            th.start()
+            th.join(obs_timeout_sec)
+            m = box if box else batch_rows.agg(*_stat_exprs()).collect()[0].asDict()
             n_keys = int(m["n_keys"] or 0)
             n_del = int(m["n_deletes"] or 0)
             memo.update(

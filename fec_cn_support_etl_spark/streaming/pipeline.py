@@ -55,6 +55,12 @@ def stream_cdc_ingest(
             n_salts=n_salts,
             use_pandas_udf=use_pandas_udf,
             mode=mode,
+            # actions inside foreachBatch never deliver CollectMetrics
+            # listener events, so the lazy Observation stats would wait
+            # out their timeout every micro-batch — run the eager stats
+            # job instead (micro-batches are small; the fixed cost the
+            # lazy path saves doesn't dominate here)
+            eager_stats=True,
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             table.compact(max_files=1)

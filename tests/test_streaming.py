@@ -185,3 +185,25 @@ def test_stream_stream_join_across_microbatches(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.fileSource.maxFilesPerTrigger")
     got = sorted(zip(out.click_id, out.p_value))
     assert got == [(3, 10.0), (4, 20.0)]  # each click pairs its trailing-10min purchase only
+
+
+def test_epoch_observation_timeout_fallback(spark):
+    """If the CollectMetrics listener event never arrives (the
+    foreachBatch failure mode that hung the stream before streaming
+    switched to eager stats), lineage_fn must recompute the stats with
+    a direct aggregate job after the timeout instead of blocking
+    forever."""
+    import pyspark.sql.functions as F
+
+    from fec_cn_support_etl_spark.cdc.engine import _epoch_observation
+
+    rows = [(1, False), (2, False), (3, True)]
+    df = (
+        spark.createDataFrame(rows, ["lsn", "_deleted"])
+        .withColumn("lsn", F.col("lsn").cast("long"))
+    )
+    observed, lineage_fn = _epoch_observation(df, obs_timeout_sec=1.0)
+    # deliberately NO action on `observed` — the observation never fires
+    stats = lineage_fn()
+    assert stats["n_keys"] == 3 and stats["n_deletes"] == 1
+    assert stats["min_lsn"] == 1 and stats["max_lsn"] == 3
