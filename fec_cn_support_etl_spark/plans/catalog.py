@@ -395,6 +395,34 @@ def rollup_grouping_sets(spark, sf_dir):
 
 
 @_q(
+    "cube_two_dims",
+    f"""
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           CAST(COALESCE(CAST(year(ts) AS INT), -1) AS INT) AS y,
+           {_MONEY.format(c='value')} AS total_value, COUNT(*) AS n
+    FROM events GROUP BY CUBE(event_type, year(ts))
+    """,
+)
+def cube_two_dims(spark, sf_dir):
+    """CUBE over two dimensions — all four grouping sets (type x year,
+    type, year, grand total) in ONE grouped pass; null grouping labels
+    mapped to sentinels so the oracle's row identity is unambiguous.
+    Completes the grouping-sets family next to ROLLUP
+    (rollup_grouping_sets) and the time-bucket GROUPING SETS rollup."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.year("ts").alias("y"))
+        .agg(money(F.sum(dec("value"))).alias("total_value"), F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("y"), F.lit(-1)).cast("int").alias("y"),
+            "total_value",
+            "n",
+        )
+    )
+
+
+@_q(
     "window_running_sum",
     """
     SELECT event_id, user_id,
