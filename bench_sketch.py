@@ -58,7 +58,7 @@ spark.catalog.clearCache()
 t0 = time.time()
 sh = char_shingles(corpus, "doc_id", "text", k=5)
 sig = minhash_signatures(sh, 48).persist()
-cand = minhash_lsh_pairs(sig, bands=16)
+cand = minhash_lsh_pairs(sig, bands={bands})
 pruned = signature_verify(cand, sig, threshold=0.45).select("id_a", "id_b")
 pairs = jaccard_verify(pruned, sh, threshold_frac=(4, 5)).persist()
 n_pairs = pairs.count()
@@ -79,14 +79,14 @@ spark.stop()
 """
 
 
-def run_trial(corpus_dir: str, cores: int, docs: int) -> dict:
+def run_trial(corpus_dir: str, cores: int, docs: int, bands: int = 16) -> dict:
     # Partition count must track DATA VOLUME, not core count: at 500k
     # docs the shingle relation is ~100M rows, and shuffle_partitions=2
     # (cores) puts ~50M rows in one partition — executor OOM. Few cores
     # simply work through more (right-sized) partitions sequentially;
     # this is exactly the sizing rule a 100 TB job follows.
     shuffle = max(cores, docs // 10_000)
-    code = _RUN_CODE.format(repo=REPO, cores=cores, corpus=corpus_dir, shuffle=shuffle)
+    code = _RUN_CODE.format(repo=REPO, cores=cores, corpus=corpus_dir, shuffle=shuffle, bands=bands)
     out = subprocess.run(
         [sys.executable, "-c", code],
         check=False, cwd=REPO, capture_output=True, text=True,
@@ -107,6 +107,11 @@ def main():
     p.add_argument("--low", type=int, default=2)
     p.add_argument("--high", type=int, default=8)
     p.add_argument("--trials", type=int, default=2)
+    p.add_argument("--bands", type=int, default=16, choices=(8, 16), help=(
+        "LSH geometry over the 48-hash signatures: 16 bands (r=3, "
+        "guarantee-grade: miss ~1e-6/pair at j=0.83) or 8 bands (r=6, "
+        "SCALE-grade: ~70x fewer background candidates, disclosed "
+        "estimate-grade recall ~0.96 at j=0.83)"))
     a = p.parse_args()
 
     work = tempfile.mkdtemp(prefix="sketch-scaling-")
@@ -125,18 +130,26 @@ spark.stop()
         lows, highs = [], []
         for _ in range(a.trials):  # interleave trials (time-varying CPU steal)
             wait_for_quiet_host()
-            lows.append(run_trial(corpus_dir, a.low, a.docs))
+            lows.append(run_trial(corpus_dir, a.low, a.docs, a.bands))
             wait_for_quiet_host()
-            highs.append(run_trial(corpus_dir, a.high, a.docs))
+            highs.append(run_trial(corpus_dir, a.high, a.docs, a.bands))
         r_low = max(lows, key=lambda r: r["docs_per_sec"])
         r_high = max(highs, key=lambda r: r["docs_per_sec"])
-        for r in lows + highs:  # throughput is meaningless if the job missed pairs
-            assert r["recalled"] == r["planted"], r
+        # throughput is meaningless if the job missed pairs: the r=3
+        # geometry guarantees capture (exact recall asserted); r=6 is
+        # the disclosed estimate-grade mode (recall floor 0.9 asserted,
+        # actual recall reported per trial)
+        for r in lows + highs:
+            if a.bands == 16:
+                assert r["recalled"] == r["planted"], r
+            else:
+                assert r["planted"] and r["recalled"] / r["planted"] >= 0.9, r
         ratio = a.high / a.low
         print(json.dumps({
             "docs": a.docs,
+            "bands": a.bands,
             "pairs_found": r_low["pairs_found"],
-            "planted_recall": 1.0,
+            "planted_recall": round(min(r["recalled"] / r["planted"] for r in lows + highs), 4),
             f"throughput_local[{a.low}]": r_low["docs_per_sec"],
             f"throughput_local[{a.high}]": r_high["docs_per_sec"],
             f"all_throughputs_local[{a.low}]": [r["docs_per_sec"] for r in lows],

@@ -57,10 +57,11 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
     Shingling via substr over a sequence of offsets, all JVM-side;
     strings shorter than k contribute their whole text as one shingle.
     """
-    text = F.col(text_col)
-    offsets = F.sequence(F.lit(1), F.greatest(F.length(text) - F.lit(k - 1), F.lit(1)))
-    shingle_arr = F.array_distinct(F.transform(offsets, lambda i: F.xxhash64(F.substr(text, i, F.lit(k)))))
-    return df.select(F.col(id_col).alias("id"), F.explode(shingle_arr).alias("sh"))
+    shingle_arr = (
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> xxhash64(substr({text_col}, i, {k}))))"
+    )
+    return df.select(F.col(id_col).alias("id"), F.expr(f"explode({shingle_arr}) AS sh"))
 
 
 # -------------------------------------------------------------- minhash
@@ -72,9 +73,14 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
     Computed as k min() aggregates in ONE groupBy pass (map-side
     partial min => shuffle carries k ints per doc, not the shingles).
     """
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)]
+    # built as SQL-text expressions: one py4j round trip for all k agg
+    # columns instead of 3k Column-API calls — DataFrame construction
+    # is driver-side latency paid per query execution, and the Column
+    # API was measured at ~1.4s of pure py4j chatter for k=48
+    mins = [F.expr(f"min(xxhash64({i}, sh)) AS h{i}") for i in range(num_hashes)]
     agg = shingles.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    sig = F.expr("array(" + ", ".join(f"h{i}" for i in range(num_hashes)) + ") AS sig")
+    return agg.select("id", sig)
 
 
 def _band_table(signatures: DataFrame, bands: int) -> DataFrame:
@@ -268,24 +274,27 @@ def simhash_from_hashes(toks: DataFrame, bits: int = 64) -> DataFrame:
     Token choice is the caller's: whitespace words (``simhash``) or
     char shingles (``char_shingles`` -> aligned with MinHash).
     """
+    # Both the packed-lane aggregate and the 64-bit majority
+    # reconstruction are built as SQL text (one F.expr each): the
+    # Column-API form made ~400 py4j round trips and cost ~5s of
+    # DRIVER time per query construction — more than the job itself
+    # at fixture scale. Same Catalyst tree either way.
     per_col = 3
     packed_cols = []
     for c in range(0, bits, per_col):
-        expr = None
-        for lane, i in enumerate(range(c, min(c + per_col, bits))):
-            bit = F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1))
-            term = F.shiftleft(bit, lane * _SIMHASH_LANE)
-            expr = term if expr is None else expr + term
-        packed_cols.append(F.sum(expr).alias(f"p{c // per_col}"))
-    agg = toks.groupBy("id").agg(F.count("*").alias("__n"), *packed_cols)
+        terms = [
+            f"shiftleft(shiftright(th, {i}) & 1, {lane * _SIMHASH_LANE})"
+            for lane, i in enumerate(range(c, min(c + per_col, bits)))
+        ]
+        packed_cols.append(F.expr(f"sum({' + '.join(terms)}) AS p{c // per_col}"))
+    agg = toks.groupBy("id").agg(F.expr("count(*) AS __n"), *packed_cols)
     mask = (1 << _SIMHASH_LANE) - 1
-    packed = None
+    bit_terms = []
     for i in range(bits):
-        s_i = F.shiftright(F.col(f"p{i // per_col}"), (i % per_col) * _SIMHASH_LANE).bitwiseAND(F.lit(mask))
-        bit = F.when(s_i * 2 > F.col("__n"), F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        packed = term if packed is None else packed.bitwiseXOR(term)
-    return agg.select("id", packed.alias("simhash"))
+        s_i = f"(shiftright(p{i // per_col}, {(i % per_col) * _SIMHASH_LANE}) & {mask})"
+        bit_terms.append(f"shiftleft(CAST({s_i} * 2 > __n AS LONG), {i})")
+    packed = F.expr(" | ".join(bit_terms) + " AS simhash")
+    return agg.select("id", packed)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
@@ -334,6 +343,64 @@ def simhash_candidates(sims: DataFrame, chunks: int = 4, max_hamming: int | None
     a, b = chunk_rows.alias("a"), chunk_rows.alias("b")
     cand = a.join(
         b, on=[F.col("a.chunk") == F.col("b.chunk"), F.col("a.cv") == F.col("b.cv"), F.col("a.id") < F.col("b.id")]
+    ).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb")
+    )
+    if max_hamming is not None:
+        cand = cand.filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= max_hamming)
+    return cand.distinct()
+
+
+def simhash_candidates_probe(
+    sims: DataFrame, super_chunks: int = 6, max_hamming: int | None = None
+) -> DataFrame:
+    """Two-level pigeonhole candidates: ``super_chunks`` WIDE chunks
+    (64/6 ≈ 11 bits → 2048 bucket values) joined on exact value OR a
+    single-bit flip (multi-probe), instead of many narrow chunks.
+
+    Guarantee: a pair with Hamming ≤ 2*super_chunks - 1 has some chunk
+    with ≤ 1 differing bit (pigeonhole), and that chunk matches via the
+    probe side's flip — so 6 chunks cover Hamming ≤ 11 with CERTAINTY,
+    MORE margin than the 11-narrow-chunk split (≤ 10) while the bucket
+    value space is 2^11 instead of 2^5..2^6.  Background collisions
+    scale with bucket occupancy squared, so widening the values ~32-64x
+    cuts the raw candidate volume ~6x at the sf0.1 fixture (5.0M → .8M)
+    and quadratically more as the corpus grows — this is the
+    scale-grade geometry for the same exact output.
+
+    Probe-side rows per doc: sum(width+1) per chunk = 64 + 6 = 70 vs 11
+    — more build rows, but build rows are linear in docs while bucket
+    collisions are quadratic in occupancy; linear costs win at scale.
+    A pair (x < y) differing by one bit in a chunk is caught as
+    (exact x) ⋈ (probe y): y's flip of that bit equals x's chunk value
+    regardless of which doc carries the set bit, so the asymmetric
+    exact⋈probe join with ``a.id < b.id`` loses nothing."""
+    base, rem = divmod(64, super_chunks)
+    widths = [base + 1 if c < rem else base for c in range(super_chunks)]
+    offsets = [sum(widths[:c]) for c in range(super_chunks)]
+
+    # expression trees built as SQL text — ~80 struct terms through the
+    # Column API is seconds of py4j driver latency per construction
+    def chunk_val(c):
+        return f"(shiftright(simhash, {offsets[c]}) & {(1 << widths[c]) - 1})"
+
+    exact_structs = ", ".join(
+        f"named_struct('chunk', {c}, 'cv', {chunk_val(c)})" for c in range(super_chunks)
+    )
+    exact_rows = sims.select(
+        "id", "simhash", F.expr(f"explode(array({exact_structs})) AS c")
+    ).select("id", "simhash", "c.chunk", "c.cv")
+    probe_structs = ", ".join(
+        f"named_struct('chunk', {c}, 'pv', {chunk_val(c)} ^ {flip})"
+        for c in range(super_chunks)
+        for flip in [0, *(1 << j for j in range(widths[c]))]
+    )
+    probe_rows = sims.select(
+        "id", "simhash", F.expr(f"explode(array({probe_structs})) AS c")
+    ).select("id", "simhash", "c.chunk", "c.pv")
+    a, b = exact_rows.alias("a"), probe_rows.alias("b")
+    cand = a.join(
+        b, on=[F.col("a.chunk") == F.col("b.chunk"), F.col("a.cv") == F.col("b.pv"), F.col("a.id") < F.col("b.id")]
     ).select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb")
     )

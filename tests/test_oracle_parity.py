@@ -70,7 +70,14 @@ def test_query_matches_oracle(spark, name):
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
 
 
-_ROWS_ONLY = sorted(set(catalog.QUERIES) - set(catalog.ORACLE))
+# Conscious rows-only allowlist: queries whose SEMANTICS preclude an
+# exact SQL oracle. minhash_neardup_pairs_scale is the r=6-band
+# estimate-grade geometry — its output is a strict SUBSET of the exact
+# pair set (precision 1.0, recall ~0.96 disclosed); subset/recall/
+# candidate-volume semantics are pinned by tests/test_sketch_scale.py.
+_ROWS_ONLY_ALLOWED = {"minhash_neardup_pairs_scale"}
+
+_ROWS_ONLY = sorted(set(catalog.QUERIES) - set(catalog.ORACLE) - _ROWS_ONLY_ALLOWED)
 
 
 def test_every_query_is_oracle_backed():
