@@ -36,7 +36,7 @@ spark.stop()
     subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
 
 
-def run_replay(wal: str, table: str, cores: int, mode: str = "cow") -> dict:
+def run_replay(wal: str, table: str, cores: int, mode: str = "cow", compression: str | None = None) -> dict:
     out = subprocess.run(
         [
             sys.executable,
@@ -48,6 +48,7 @@ def run_replay(wal: str, table: str, cores: int, mode: str = "cow") -> dict:
             "--master", f"local[{cores}]",
             "--warmup",
             "--mode", mode,
+            *(["--compression", compression] if compression else []),
         ],
         check=True,
         cwd=REPO,
@@ -91,7 +92,8 @@ def main():
     p.add_argument("--low", type=int, default=4)
     p.add_argument("--high", type=int, default=16)
     p.add_argument("--trials", type=int, default=2)
-    p.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    p.add_argument("--mode", choices=["cow", "mor", "auto"], default="cow")
+    p.add_argument("--compression", default=None, help="parquet codec for state writes (zstd trades CPU for the non-scaling single-disk write IO)")
     a = p.parse_args()
 
     work = tempfile.mkdtemp(prefix="cdc-scaling-")
@@ -105,15 +107,16 @@ def main():
             shutil.rmtree(os.path.join(work, "lake_low"), ignore_errors=True)
             shutil.rmtree(os.path.join(work, "lake_high"), ignore_errors=True)
             wait_for_quiet_host()
-            lows.append(run_replay(wal, os.path.join(work, "lake_low"), a.low, mode=a.mode))
+            lows.append(run_replay(wal, os.path.join(work, "lake_low"), a.low, mode=a.mode, compression=a.compression))
             wait_for_quiet_host()
-            highs.append(run_replay(wal, os.path.join(work, "lake_high"), a.high, mode=a.mode))
+            highs.append(run_replay(wal, os.path.join(work, "lake_high"), a.high, mode=a.mode, compression=a.compression))
         r_low = max(lows, key=lambda r: r["events_per_sec"])
         r_high = max(highs, key=lambda r: r["events_per_sec"])
         ratio = a.high / a.low
         eff = (r_high["events_per_sec"] / r_low["events_per_sec"]) / ratio
         result = {
             "mode": a.mode,
+            "compression": a.compression or "snappy",
             "events": a.events,
             "epochs": a.epochs,
             "trials": a.trials,

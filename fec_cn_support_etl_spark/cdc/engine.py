@@ -316,7 +316,8 @@ def commit_epoch(
                 )
                 bucket_stats = None  # stale bucket ids; epoch-level stats stay valid
             try:
-                commit_fn = _append_and_commit if mode == "mor" else _merge_and_commit
+                eff_mode = _resolve_mode(table, snap, touched, mode)
+                commit_fn = _append_and_commit if eff_mode == "mor" else _merge_and_commit
                 new_snap, lineage = commit_fn(spark, table, snap, winners, stats, touched, epoch)
                 break
             except EpochAlreadyApplied:
@@ -418,6 +419,29 @@ def _epoch_observation(batch_rows, obs_timeout_sec: float = 60.0):
         return dict(memo)
 
     return observed, lineage_fn
+
+
+# mode="auto" COW/MOR crossover: rewrite state in place while the
+# touched state is small enough that the rewrite IO is cheap; switch to
+# delta appends once the rewrite would dominate. 256 MiB default from
+# the measured single-disk crossover (BENCH.md round-5 compression/
+# crossover section); tune per deployment via table props — on a real
+# cluster with striped object storage the budget is much higher.
+DEFAULT_COW_STATE_BUDGET = 256 * 1024 * 1024
+
+
+def _resolve_mode(table: LakeTable, snap, touched, mode: str) -> str:
+    """Resolve mode='auto' to cow or mor for THIS epoch against THIS
+    snapshot: COW's marginal cost is rewriting the touched buckets'
+    current state, known driver-side from the manifest (os.stat, no
+    Spark job). Re-resolved per optimistic attempt, so a competing
+    writer growing the table flips the decision on retry."""
+    if mode != "auto":
+        return mode
+    if not snap.order_cols:
+        return "cow"  # read-time LWW impossible without order_cols
+    budget = int(snap.props.get("cow_state_budget_bytes", DEFAULT_COW_STATE_BUDGET))
+    return "mor" if table.state_size_bytes(snap, touched) > budget else "cow"
 
 
 def _merge_and_commit(spark, table, snap, winners, stats, touched, epoch):

@@ -77,14 +77,16 @@ def list_epochs(wal_dir: str) -> list[int]:
     return sorted(eps)
 
 
-def open_or_create(spark: SparkSession, table_dir: str, n_buckets: int) -> LakeTable:
+def open_or_create(
+    spark: SparkSession, table_dir: str, n_buckets: int, props: dict | None = None
+) -> LakeTable:
     if LakeTable.exists(table_dir):
         return LakeTable(spark, table_dir)
     # order_cols enables merge-on-read commits; harmless for COW (reads
     # only resolve when a bucket actually holds delta files)
     return LakeTable.create(
         spark, table_dir, TABLE_SCHEMA, key_cols=["repo", "path"], n_buckets=n_buckets,
-        order_cols=["lsn", "commit"],
+        order_cols=["lsn", "commit"], props=props,
     )
 
 
@@ -102,6 +104,7 @@ def replay(
     mode: str = "cow",
     compact_every: int | None = None,
     max_delta_files: int = 1,
+    table_props: dict | None = None,
     log=print,
 ) -> dict:
     """Apply every pending epoch; returns summary incl. events/sec.
@@ -127,7 +130,7 @@ def replay(
 
     from .engine import commit_epoch, prepare_epoch
 
-    table = open_or_create(spark, table_dir, n_buckets)
+    table = open_or_create(spark, table_dir, n_buckets, props=table_props)
     t0 = time.time()
     total_events = 0
     applied = 0
@@ -206,7 +209,9 @@ def main(argv=None):
     p.add_argument("--stop-after", type=int, default=None, help="apply at most N epochs (crash/resume testing)")
     p.add_argument("--warmup", action="store_true", help="run a small throwaway replay first (JVM/codegen warmup)")
     p.add_argument("--vacuum-every", type=int, default=None, help="vacuum superseded snapshots every N applied epochs")
-    p.add_argument("--mode", choices=["cow", "mor"], default="cow", help="copy-on-write bucket rewrite vs merge-on-read delta append")
+    p.add_argument("--mode", choices=["cow", "mor", "auto"], default="cow", help="copy-on-write bucket rewrite vs merge-on-read delta append; auto picks per epoch by touched-state size vs the cow_state_budget_bytes table prop")
+    p.add_argument("--compression", default=None, help="parquet codec for state/delta writes (e.g. zstd); default snappy")
+    p.add_argument("--cow-state-budget-mb", type=int, default=None, help="mode=auto crossover: COW while touched state is below this, MOR above")
     p.add_argument("--compact-every", type=int, default=None, help="fold MOR delta files into base every N applied epochs")
     p.add_argument("--max-delta-files", type=int, default=1, help="compaction threshold: rewrite buckets holding more than this many files")
     a = p.parse_args(argv)
@@ -219,10 +224,16 @@ def main(argv=None):
         wdir = tempfile.mkdtemp(prefix="cdc-warmup-")
         write_wal(gen_change_events(spark, 50_000, epochs=1, seed=1), os.path.join(wdir, "wal"))
         replay(spark, os.path.join(wdir, "wal"), os.path.join(wdir, "lake"), log=lambda *_: None)
+    props = {}
+    if a.compression:
+        props["write_compression"] = a.compression
+    if a.cow_state_budget_mb is not None:
+        props["cow_state_budget_bytes"] = a.cow_state_budget_mb * 1024 * 1024
     summary = replay(
         spark,
         a.wal,
         a.table,
+        table_props=props or None,
         n_buckets=a.n_buckets,
         n_salts=a.n_salts,
         use_pandas_udf=not a.native_sha,

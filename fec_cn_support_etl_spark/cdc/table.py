@@ -164,6 +164,7 @@ class LakeTable:
         key_cols: list[str],
         n_buckets: int = 64,
         order_cols: list[str] | None = None,
+        props: dict | None = None,
     ) -> "LakeTable":
         t = cls(spark, root)
         os.makedirs(t._snap_dir, exist_ok=True)
@@ -177,6 +178,7 @@ class LakeTable:
             key_cols=list(key_cols),
             n_buckets=n_buckets,
             order_cols=list(order_cols or []),
+            props=dict(props or {}),
         )
         t._write_snapshot(snap)
         return t
@@ -227,6 +229,40 @@ class LakeTable:
     def schema(self, snap: Snapshot | None = None) -> T.StructType:
         snap = snap or self.current_snapshot()
         return T.StructType.fromJson(json.loads(snap.schema_json[snap.current_schema_id]))
+
+    def _write_parquet(self, df: DataFrame, snap: Snapshot, out_dir: str) -> None:
+        """All state/delta writes funnel here so table props steer the
+        file format. ``props['write_compression']`` (snappy default,
+        'zstd' for the COW IO-bound regime — the state rewrite through
+        one disk is the non-scaling term, and zstd trades spare CPU for
+        ~2x less write IO; see BENCH.md compression A/B) applies to
+        base rewrites, delta appends, and rebucket copies alike."""
+        w = df.write.mode("overwrite").partitionBy(BUCKET_COL)
+        codec = (snap.props or {}).get("write_compression")
+        if codec:
+            w = w.option("compression", codec)
+        w.parquet(out_dir)
+
+    def state_size_bytes(self, snap: Snapshot | None = None, buckets: list[int] | None = None) -> int:
+        """On-disk bytes of the given buckets' current files (base +
+        deltas) — manifest-level metadata (os.stat per file, no Spark
+        job). Feeds the mode='auto' COW/MOR crossover decision in
+        cdc/engine.py: the COW write cost of an epoch is exactly the
+        size of the state it must rewrite."""
+        snap = snap or self.current_snapshot()
+        wanted = None if buckets is None else {str(b) for b in buckets}
+        total = 0
+        for b, files in snap.buckets.items():
+            if wanted is not None and b not in wanted:
+                continue
+            for entry in files:
+                d = entry["path"]
+                if not os.path.isdir(d):
+                    continue
+                for name in os.listdir(d):
+                    if name.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(d, name))
+        return total
 
     def applied_epochs(self) -> set[str]:
         """Epochs with EXPLICIT manifest entries. After
@@ -370,11 +406,7 @@ class LakeTable:
         # directory, so losing the snapshot CAS below never corrupts the
         # winner's published files; the loser dir is vacuumed as orphan.
         out_dir = os.path.join(self._data_dir, f"v{version}-{uuid.uuid4().hex[:8]}")
-        (
-            new_bucket_data.write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(out_dir)
-        )
+        self._write_parquet(new_bucket_data, snap, out_dir)
         if callable(lineage):
             # lazy lineage: resolves Observation metrics collected by
             # the write job that just finished — zero extra jobs
@@ -442,7 +474,7 @@ class LakeTable:
             raise ValueError("merge-on-read append requires order_cols on the table")
         out_dir = os.path.join(self._data_dir, f"v{snap.version + 1}-{uuid.uuid4().hex[:8]}-delta")
         if delta_rows is not None and (touched_buckets is None or touched_buckets):
-            delta_rows.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out_dir)
+            self._write_parquet(delta_rows, snap, out_dir)
         if callable(lineage):
             # lazy lineage: resolves Observation metrics collected by
             # the write job that just finished — zero extra jobs
@@ -703,12 +735,11 @@ class LakeTable:
         full = self.read(snap, include_deleted=True)
         version = snap.version + 1
         out_dir = os.path.join(self._data_dir, f"v{version}-{uuid.uuid4().hex[:8]}")
-        (
+        self._write_parquet(
             full.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, n_buckets))
-            .repartition(max(1, min(n_buckets, self.spark.sparkContext.defaultParallelism)), BUCKET_COL)
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(out_dir)
+            .repartition(max(1, min(n_buckets, self.spark.sparkContext.defaultParallelism)), BUCKET_COL),
+            snap,
+            out_dir,
         )
         buckets = {}
         for b in range(n_buckets):

@@ -536,3 +536,63 @@ def test_cow_rebucket_between_prepare_and_commit_rederives_touched(spark, wal, t
     clean = str(tmp_path / "clean")
     runner.replay(spark, wal, clean, n_buckets=8, log=lambda *_: None)
     assert state_digest(table_state(spark, d)) == state_digest(table_state(spark, clean))
+
+
+def test_auto_mode_crossover_and_digest(spark, wal, tmp_path):
+    """mode='auto' (VERDICT r4 next-round #1): COW while the touched
+    state is under cow_state_budget_bytes, MOR above — final state
+    digest identical to a pure-COW replay either way.
+
+    A tiny budget forces the crossover inside the 6-epoch fixture: the
+    first epoch lands on an empty table (0 bytes < budget -> cow, so the
+    table bootstraps base files), later epochs see grown state -> mor
+    (delta-suffix data dirs appear)."""
+    auto_dir = str(tmp_path / "auto")
+    cow_dir = str(tmp_path / "cow")
+    runner.replay(spark, wal, cow_dir, n_buckets=16)
+    runner.replay(
+        spark, wal, auto_dir, n_buckets=16, mode="auto",
+        table_props={"cow_state_budget_bytes": 1},  # everything-but-bootstrap -> mor
+    )
+    t = LakeTable(spark, auto_dir)
+    applied = t.current_snapshot().applied
+    modes = {e: v.get("mode", "cow") for e, v in applied.items()}
+    assert modes[str(0)] == "cow", modes  # empty table bootstraps via cow
+    assert any(m == "mor" for m in modes.values()), modes  # crossover hit
+    assert state_digest(table_state(spark, auto_dir)) == state_digest(table_state(spark, cow_dir))
+    # generous budget -> stays cow throughout
+    big_dir = str(tmp_path / "big")
+    runner.replay(
+        spark, wal, big_dir, n_buckets=16, mode="auto",
+        table_props={"cow_state_budget_bytes": 10 * 1024 * 1024 * 1024},
+    )
+    big_modes = {e: v.get("mode", "cow") for e, v in LakeTable(spark, big_dir).current_snapshot().applied.items()}
+    assert all(m == "cow" for m in big_modes.values()), big_modes
+
+
+def test_write_compression_prop_roundtrip(spark, wal, tmp_path):
+    """props['write_compression']='zstd' must actually produce zstd
+    parquet state files (checked via footer metadata) with an identical
+    final-state digest to the snappy default."""
+    import pyarrow.parquet as pq
+
+    zstd_dir = str(tmp_path / "zstd")
+    plain_dir = str(tmp_path / "plain")
+    runner.replay(spark, wal, plain_dir, n_buckets=16)
+    runner.replay(
+        spark, wal, zstd_dir, n_buckets=16,
+        table_props={"write_compression": "zstd"},
+    )
+    t = LakeTable(spark, zstd_dir)
+    snap = t.current_snapshot()
+    codecs = set()
+    for files in snap.buckets.values():
+        for entry in files:
+            d = entry["path"]
+            for name in os.listdir(d):
+                if name.endswith(".parquet"):
+                    md = pq.ParquetFile(os.path.join(d, name)).metadata
+                    codecs.add(md.row_group(0).column(0).compression)
+    assert codecs == {"ZSTD"}, codecs
+    assert state_digest(table_state(spark, zstd_dir)) == state_digest(table_state(spark, plain_dir))
+    assert t.state_size_bytes(snap) > 0
