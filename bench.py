@@ -119,12 +119,34 @@ def cdc_bench(spark, events: int, epochs: int) -> dict:
         mor = runner.replay(
             spark, wal, os.path.join(work, "lake-mor"), n_buckets=64, mode="mor", log=lambda *_: None
         )
+        # STREAMING ingest over the SAME wal (VERDICT r4 #6): readStream
+        # file tail -> foreachBatch apply_epoch, MOR lazy footer-stats
+        # (one Spark job per micro-batch, same as batch MOR — the
+        # Observation-listener gap is gone). availableNow drains the
+        # whole WAL; wall includes trigger scheduling + checkpointing,
+        # i.e. the real streaming overhead vs the batch row.
+        import time as _time
+
+        from fec_cn_support_etl_spark.cdc.runner import open_or_create
+        from fec_cn_support_etl_spark.streaming.pipeline import stream_cdc_ingest
+
+        stream_table = open_or_create(spark, os.path.join(work, "lake-stream"), 64)
+        t0 = _time.time()
+        q = stream_cdc_ingest(
+            spark, wal, stream_table,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            available_now=True, mode="mor",
+        )
+        q.awaitTermination()
+        stream_wall = _time.time() - t0
         return {
             "events": summary["events"],
             "wall_sec": round(summary["wall_sec"], 2),
             "events_per_sec": round(summary["events_per_sec"], 1),
             "mor_wall_sec": round(mor["wall_sec"], 2),
             "mor_events_per_sec": round(mor["events_per_sec"], 1),
+            "stream_mor_wall_sec": round(stream_wall, 2),
+            "stream_mor_events_per_sec": round(summary["events"] / stream_wall, 1),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

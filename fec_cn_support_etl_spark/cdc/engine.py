@@ -368,7 +368,18 @@ def _stat_exprs():
     ]
 
 
-def _epoch_observation(batch_rows, obs_timeout_sec: float = 60.0):
+# Tunable per deployment (ADVICE r4): embedded execution contexts that
+# can't deliver CollectMetrics events should pass eager_stats=True to
+# apply_epoch (the streaming ingest does — streaming/pipeline.py);
+# where that's impossible, shrink the fallback latency via this env
+# knob instead of paying the full 60s per epoch.
+def _obs_timeout_default() -> float:
+    import os
+
+    return float(os.environ.get("SPARK_GRAFT_OBS_TIMEOUT_SEC", "60"))
+
+
+def _epoch_observation(batch_rows, obs_timeout_sec: float | None = None):
     """Attach epoch-stat metrics to the commit's OWN write job: count,
     delete count, lsn range — the same numbers the eager stats job
     computes, for free (CollectMetrics evaluates inside the existing
@@ -382,9 +393,22 @@ def _epoch_observation(batch_rows, obs_timeout_sec: float = 60.0):
     streaming/pipeline.py). If the metrics have not arrived within
     ``obs_timeout_sec`` of the write finishing, the stats are
     recomputed with a direct aggregate job — one extra job in a
-    pathological context beats a silent infinite hang."""
+    pathological context beats a silent infinite hang.
+
+    The fallback costs are bounded but real (ADVICE r4): the waiter
+    thread stays blocked on ``Observation.get`` forever (py4j offers no
+    interruptible wait — it is a daemon thread, reclaimed at process
+    exit, and a warning discloses each leak), and the direct aggregate
+    re-runs the batch dedup (the sha-enrich column IS pruned away —
+    stats touch only lsn/op — so the recompute is the dedup shuffle,
+    not the pandas UDF). Tune via ``SPARK_GRAFT_OBS_TIMEOUT_SEC`` or
+    the ``obs_timeout_sec`` arg; contexts that KNOW the listener never
+    fires must pass ``eager_stats=True`` to apply_epoch instead of
+    relying on this net."""
     from pyspark.sql import Observation
 
+    if obs_timeout_sec is None:
+        obs_timeout_sec = _obs_timeout_default()
     obs = Observation()
     observed = batch_rows.observe(obs, *_stat_exprs())
     memo = {}
@@ -404,6 +428,17 @@ def _epoch_observation(batch_rows, obs_timeout_sec: float = 60.0):
             th = threading.Thread(target=_wait, daemon=True, name="epoch-obs-wait")
             th.start()
             th.join(obs_timeout_sec)
+            if not box:
+                import warnings
+
+                warnings.warn(
+                    f"Observation metrics not delivered within {obs_timeout_sec}s "
+                    "(CollectMetrics listener silent — foreachBatch context?); "
+                    "recomputing epoch stats with a direct aggregate and leaking "
+                    "one blocked daemon thread. Pass eager_stats=True to "
+                    "apply_epoch in this context, or tune SPARK_GRAFT_OBS_TIMEOUT_SEC.",
+                    stacklevel=2,
+                )
             m = box if box else batch_rows.agg(*_stat_exprs()).collect()[0].asDict()
             n_keys = int(m["n_keys"] or 0)
             n_del = int(m["n_deletes"] or 0)
@@ -442,6 +477,47 @@ def _resolve_mode(table: LakeTable, snap, touched, mode: str) -> str:
         return "cow"  # read-time LWW impossible without order_cols
     budget = int(snap.props.get("cow_state_budget_bytes", DEFAULT_COW_STATE_BUDGET))
     return "mor" if table.state_size_bytes(snap, touched) > budget else "cow"
+
+
+def _footer_epoch_stats(out_dir: str | None) -> dict:
+    """Epoch stats from the written delta files' parquet footers —
+    num_rows, lsn min/max (column statistics), and delete count via the
+    tombstone NULL-encoding (live rows carry NULL ``_deleted``, so
+    n_deletes = rows - null_count). Driver-side os/footer metadata
+    only: no Spark job, no listener, safe inside foreachBatch."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from .table import DELETED_COL
+
+    n_rows, n_del, mn, mx = 0, 0, None, None
+    if out_dir and _os.path.isdir(out_dir):
+        for root, _dirs, files in _os.walk(out_dir):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(_os.path.join(root, name)).metadata
+                n_rows += md.num_rows
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    if "lsn" in idx:
+                        st = rgm.column(idx["lsn"]).statistics
+                        if st is not None and st.has_min_max:
+                            mn = st.min if mn is None else min(mn, st.min)
+                            mx = st.max if mx is None else max(mx, st.max)
+                    if DELETED_COL in idx:
+                        st = rgm.column(idx[DELETED_COL]).statistics
+                        nulls = st.null_count if st is not None and st.has_null_count else 0
+                        n_del += rgm.num_rows - nulls
+    return {
+        "n_events": n_rows,
+        "n_keys": n_rows,
+        "n_deletes": n_del,
+        "min_lsn": int(mn) if mn is not None else None,
+        "max_lsn": int(mx) if mx is not None else None,
+    }
 
 
 def _merge_and_commit(spark, table, snap, winners, stats, touched, epoch):
@@ -547,16 +623,25 @@ def _append_and_commit(spark, table, snap, winners, stats, touched, epoch):
         }
         if not touched:
             return table.commit_append_delta(None, [], epoch, lineage=lineage, base_snap=snap), lineage
+    # tombstone encoding: deletes are True, live rows are NULL (every
+    # reader coalesces to False) — the live/delete split then lives in
+    # the parquet footer null counts, making the lazy stats below a
+    # pure metadata read
+    deleted = F.when(F.col("op") == "D", F.lit(True))
     batch_rows = _conform(
-        winners.drop(BUCKET_COL, "epoch").withColumn(DELETED_COL, F.col("op") == "D").drop("op"),
+        winners.drop(BUCKET_COL, "epoch").withColumn(DELETED_COL, deleted).drop("op"),
         target_schema,
     ).withColumn(BUCKET_COL, bucket_expr(KEYS, snap.n_buckets))
     if stats is None:
         # lazy path: the append IS the epoch's only Spark job — stats
-        # ride it as Observation metrics, touched buckets come from the
-        # written delta dirs (commit_append_delta discovers them)
-        batch_rows, lineage_fn = _epoch_observation(batch_rows)
-        lineage = lambda: {**lineage_fn(), "mode": "mor"}  # noqa: E731
+        # come from the WRITTEN delta files' parquet FOOTERS (row
+        # counts, lsn min/max, tombstone counts via _deleted null
+        # counts): a driver-side metadata read, like Iceberg deriving
+        # snapshot summaries from its manifests. Unlike the Observation
+        # listener this works in ANY execution context, including
+        # foreachBatch (the r4 hang); touched buckets come from the
+        # delta dir listing.
+        lineage = lambda out_dir=None: {**_footer_epoch_stats(out_dir), "mode": "mor"}  # noqa: E731
         touched = None
     n_write = max(1, spark.sparkContext.defaultParallelism * 2) if touched is None else max(
         1, min(len(touched), spark.sparkContext.defaultParallelism * 2)

@@ -476,9 +476,18 @@ class LakeTable:
         if delta_rows is not None and (touched_buckets is None or touched_buckets):
             self._write_parquet(delta_rows, snap, out_dir)
         if callable(lineage):
-            # lazy lineage: resolves Observation metrics collected by
-            # the write job that just finished — zero extra jobs
-            lineage = lineage()
+            # lazy lineage, resolved after the write with zero extra
+            # jobs: footer-stats callables take the written dir (the
+            # engine reads row counts / lsn range / tombstone counts
+            # from the parquet footers); zero-arg callables (legacy
+            # Observation form) are called bare
+            import inspect
+
+            try:
+                takes_dir = "out_dir" in inspect.signature(lineage).parameters
+            except (TypeError, ValueError):
+                takes_dir = False
+            lineage = lineage(out_dir=out_dir) if takes_dir else lineage()
         if touched_buckets is None:
             # lazy path: the written delta dirs ARE the touched set —
             # no pre-write stats job ever computed it

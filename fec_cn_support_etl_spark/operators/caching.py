@@ -14,13 +14,26 @@ catalog-query construction calls :func:`release_all` (see
 consumed (the sequential build→collect pattern of the driver, bench,
 and tests). Two consecutive full-catalog sweeps therefore hold at most
 one query's cache blocks at a time.
+
+Thread-safety: the registry is process-global, and concurrent catalog-
+query construction (multi-threaded bench use) may register/release
+from several threads — all mutation happens under ``_LOCK``. Releasing
+another in-flight query's intermediates remains possible by design
+(it costs a recompute, never correctness); what the lock prevents is
+racy list mutation dropping a registration on the floor, which would
+pin its cache blocks forever. Frames whose SparkSession has been
+stopped are dropped instead of unpersisted (the RPC would fail), so a
+restarted-session process doesn't accumulate dead entries.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _REGISTRY: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 # FIFO backstop for callers that never construct a catalog query (the
 # operator API used directly in a long-lived session): registrations
@@ -32,28 +45,44 @@ _REGISTRY: list[DataFrame] = []
 MAX_REGISTERED = 16
 
 
+def _session_active(df: DataFrame) -> bool:
+    try:
+        return not df.sparkSession.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
+def _release(df: DataFrame) -> None:
+    try:
+        if _session_active(df):
+            df.unpersist()
+    except Exception:
+        pass  # session torn down mid-release; nothing to reclaim
+
+
 def cache(df: DataFrame, storage_level=None) -> DataFrame:
     """Persist (MEMORY_AND_DISK by default) and register for the next
     :func:`release_all` sweep."""
     from pyspark.storagelevel import StorageLevel
 
     df = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
-    _REGISTRY.append(df)
-    while len(_REGISTRY) > MAX_REGISTERED:
-        old = _REGISTRY.pop(0)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    overflow = []
+    with _LOCK:
+        # drop entries from stopped sessions first — they hold no
+        # reclaimable blocks and would only age out live entries
+        _REGISTRY[:] = [d for d in _REGISTRY if _session_active(d)]
+        _REGISTRY.append(df)
+        while len(_REGISTRY) > MAX_REGISTERED:
+            overflow.append(_REGISTRY.pop(0))
+    for old in overflow:  # unpersist RPCs outside the lock
+        _release(old)
     return df
 
 
 def release_all() -> None:
     """Unpersist every registered intermediate (non-blocking). Safe to
     call at any time; already-released frames are no-ops."""
-    while _REGISTRY:
-        df = _REGISTRY.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session torn down; nothing to release
+    with _LOCK:
+        drained, _REGISTRY[:] = _REGISTRY[:], []
+    for df in drained:
+        _release(df)

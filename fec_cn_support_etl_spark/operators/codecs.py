@@ -177,9 +177,23 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos, ihdr, idat = 8, None, []
     while pos + 8 <= len(payload):
         (size,) = struct.unpack_from(">I", payload, pos)
+        # a corrupt/hostile length must become a clean decode error, not
+        # a silently truncated slice or a struct.error from IHDR unpack
+        # downstream (ADVICE r4): bounds-check against the remaining
+        # payload (12 = 4 length + 4 type + 4 CRC)
+        if pos + 12 + size > len(payload):
+            raise ValueError(
+                f"PNG chunk at offset {pos} declares {size} bytes but only "
+                f"{len(payload) - pos - 12} remain (truncated or corrupt length)"
+            )
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} at offset {pos} fails CRC32")
         if ctype == b"IHDR":
+            if size != 13:
+                raise ValueError(f"PNG IHDR must be 13 bytes, got {size}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)

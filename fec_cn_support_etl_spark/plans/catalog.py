@@ -398,25 +398,40 @@ def rollup_grouping_sets(spark, sf_dir):
 @_q(
     "cube_two_dims",
     f"""
-    SELECT COALESCE(event_type, 'ALL') AS event_type,
-           CAST(COALESCE(CAST(year(ts) AS INT), -1) AS INT) AS y,
+    SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(CASE WHEN GROUPING(year(ts)) = 1 THEN -1 ELSE year(ts) END AS INT) AS y,
+           CAST(GROUPING(year(ts)) AS INT) AS g_year,
            {_MONEY.format(c='value')} AS total_value, COUNT(*) AS n
     FROM events GROUP BY CUBE(event_type, year(ts))
     """,
 )
 def cube_two_dims(spark, sf_dir):
     """CUBE over two dimensions — all four grouping sets (type x year,
-    type, year, grand total) in ONE grouped pass; null grouping labels
-    mapped to sentinels so the oracle's row identity is unambiguous.
-    Completes the grouping-sets family next to ROLLUP
-    (rollup_grouping_sets) and the time-bucket GROUPING SETS rollup."""
-    ev = _t(spark, sf_dir, "events")
+    type, year, grand total) in ONE grouped pass. Row identity uses
+    GROUPING() flags, not value sentinels: a data group whose
+    event_type is genuinely NULL (or a NULL-ts year) is distinguishable
+    from the CUBE subtotal rows even though both would render the same
+    label (ADVICE r4 — the old COALESCE-only form collided them; the
+    emitted g_type/g_year columns make the distinction part of the
+    compared result, on NULL-free fixtures and hostile data alike)."""
+    # y projected as a plain column first: F.grouping() must reference
+    # a grouping COLUMN, and an aliased expression inside cube() does
+    # not resolve (GROUPING_COLUMN_MISMATCH)
+    ev = _t(spark, sf_dir, "events").select("value", "event_type", F.year("ts").alias("y"))
     return (
-        ev.cube("event_type", F.year("ts").alias("y"))
-        .agg(money(F.sum(dec("value"))).alias("total_value"), F.count("*").alias("n"))
+        ev.cube("event_type", "y")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("y").cast("int").alias("g_year"),
+            money(F.sum(dec("value"))).alias("total_value"),
+            F.count("*").alias("n"),
+        )
         .select(
-            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
-            F.coalesce(F.col("y"), F.lit(-1)).cast("int").alias("y"),
+            F.when(F.col("g_type") == 1, F.lit("ALL")).otherwise(F.col("event_type")).alias("event_type"),
+            "g_type",
+            F.when(F.col("g_year") == 1, F.lit(-1)).otherwise(F.col("y")).cast("int").alias("y"),
+            "g_year",
             "total_value",
             "n",
         )

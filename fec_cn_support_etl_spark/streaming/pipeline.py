@@ -55,12 +55,14 @@ def stream_cdc_ingest(
             n_salts=n_salts,
             use_pandas_udf=use_pandas_udf,
             mode=mode,
-            # actions inside foreachBatch never deliver CollectMetrics
-            # listener events, so the lazy Observation stats would wait
-            # out their timeout every micro-batch — run the eager stats
-            # job instead (micro-batches are small; the fixed cost the
-            # lazy path saves doesn't dominate here)
-            eager_stats=True,
+            # MOR's lazy stats are parquet-footer reads of the written
+            # delta files — listener-free, so they work inside
+            # foreachBatch and the streaming path pays the same ONE
+            # job per micro-batch as the batch probe. COW's lazy stats
+            # still ride an Observation, whose CollectMetrics listener
+            # never fires inside foreachBatch (the r4 hang) — keep the
+            # eager stats job there.
+            eager_stats=(mode not in ("mor",)),
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             table.compact(max_files=1)

@@ -229,3 +229,44 @@ def test_png_gray_alpha_features_match_gray(spark):
     want = _real_decode_features("image", encode_png(gray))
     assert len(got) == len(want) == 10
     assert (got == want).all()
+
+
+def test_png_corrupt_length_and_crc_rejected():
+    """ADVICE r4: hostile chunk lengths must raise a clean ValueError
+    (not silently truncate or surface a struct.error), and CRC damage
+    must be detected."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from fec_cn_support_etl_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    good = encode_png(rng.integers(0, 256, (4, 5, 3), dtype=np.uint8))
+
+    # 1) oversized declared length on the first chunk (IHDR)
+    bad_len = bytearray(good)
+    struct.pack_into(">I", bad_len, 8, 10_000_000)
+    with pytest.raises(ValueError, match="truncated or corrupt length"):
+        decode_png(bytes(bad_len))
+
+    # 2) flipped data byte -> CRC mismatch
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF  # inside IHDR data
+    with pytest.raises(ValueError, match="CRC32"):
+        decode_png(bytes(bad_crc))
+
+    # 3) payload truncated mid-IDAT: declared size runs past the buffer
+    idat_pos = 8 + 12 + 13  # magic + IHDR chunk (12 overhead + 13 data)
+    assert good[idat_pos + 4 : idat_pos + 8] == b"IDAT"
+    with pytest.raises(ValueError, match="truncated or corrupt length"):
+        decode_png(bytes(good[: idat_pos + 11]))
+
+    # 4) wrong-size IHDR is rejected before unpack
+    ihdr = struct.pack(">IIBBBB", 4, 5, 8, 2, 0, 0)  # 12 bytes, not 13
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="13 bytes"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
