@@ -116,18 +116,29 @@ def int_planes(dim: int, bits: int, seed: int = 42, lo: int = -3, hi: int = 3):
     return rs.randint(lo, hi + 1, size=(bits, dim)).tolist()
 
 
-def hyperplane_bucket_expr(vec, planes) -> "F.Column":
+def _dot_sql(vec_sql: str, lits: list[float]) -> str:
+    """SQL text for the FP-exact left-fold dot product the Column-API
+    form used to build: aggregate(zip_with(cast-to-double vec, literal
+    array, *), 0.0, +). Identical Catalyst tree, ONE py4j round trip —
+    the Column-API loop over dim=64 literals per plane/centroid cost
+    seconds of driver time per query construction (same finding as the
+    dedup sketch builders, round 5)."""
+    arr = ", ".join(f"{float(p)!r}D" for p in lits)
+    return (
+        f"aggregate(zip_with(transform({vec_sql}, x -> CAST(x AS DOUBLE)), "
+        f"array({arr}), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def hyperplane_bucket_expr(vec_sql: str, planes) -> "F.Column":
     """Bucket id as a pure Column expression: bit b = (v . plane_b) > 0,
     bucket = sum(bit_b << b). All JVM-side (zip_with/aggregate inside
-    codegen) — no Python, no shuffle."""
-    v = F.transform(vec, lambda x: x.cast("double"))
-    bucket = None
-    for b, plane in enumerate(planes):
-        lits = F.array(*[F.lit(float(p)) for p in plane])
-        dot = F.aggregate(F.zip_with(v, lits, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-        term = F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    return bucket.cast("int")
+    codegen) — no Python, no shuffle. ``vec_sql`` is the vector
+    column's SQL text (e.g. "v")."""
+    terms = " + ".join(
+        f"IF({_dot_sql(vec_sql, plane)} > 0, {1 << b}, 0)" for b, plane in enumerate(planes)
+    )
+    return F.expr(f"CAST(({terms}) AS INT)")
 
 
 def _probe_masks(bits: int, radius: int) -> list[int]:
@@ -168,8 +179,8 @@ def lsh_bucketed_topk(
     """
     if planes is not None:
         bits = len(planes)
-        c_bucket = hyperplane_bucket_expr(F.col("v"), planes)
-        q_bucket = hyperplane_bucket_expr(F.col("qv"), planes)
+        c_bucket = hyperplane_bucket_expr("v", planes)
+        q_bucket = hyperplane_bucket_expr("qv", planes)
     else:
         udf = hyperplane_bucket_udf(dim, bits, seed)
         c_bucket, q_bucket = udf(F.col("v")), udf(F.col("qv"))
@@ -200,31 +211,32 @@ def int_centroids(dim: int, k: int, seed: int = 11, lo: int = -2, hi: int = 2):
     return rs.randint(lo, hi + 1, size=(k, dim)).tolist()
 
 
-def _centroid_dists(vec, centroids):
-    """List of (squared-distance, centroid-id) struct Columns, one per
-    centroid — sequential left-to-right fold like the SQL twin."""
-    v = F.transform(vec, lambda x: x.cast("double"))
+def _centroid_dists_sql(vec_sql: str, centroids) -> list[str]:
+    """SQL text per centroid: (squared-distance, centroid-id) structs —
+    sequential left-to-right fold like the SQL twin (see _dot_sql for
+    why text, not Column API)."""
     out = []
     for i, c in enumerate(centroids):
-        lits = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(v, lits, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, t: acc + t
+        arr = ", ".join(f"{float(x)!r}D" for x in c)
+        d = (
+            f"aggregate(zip_with(transform({vec_sql}, x -> CAST(x AS DOUBLE)), "
+            f"array({arr}), (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
         )
-        out.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+        out.append(f"named_struct('d', {d}, 'i', {i})")
     return out
 
 
-def ivf_cell_expr(vec, centroids):
+def ivf_cell_expr(vec_sql: str, centroids):
     """Nearest-centroid cell id (argmin squared distance, lowest id on
     ties) as a pure Column expression."""
-    return F.least(*_centroid_dists(vec, centroids))["i"]
+    return F.expr(f"least({', '.join(_centroid_dists_sql(vec_sql, centroids))}).i")
 
 
-def ivf_probe_cells_expr(vec, centroids, nprobe: int):
+def ivf_probe_cells_expr(vec_sql: str, centroids, nprobe: int):
     """The ``nprobe`` nearest centroid ids, ascending by distance
     (struct array_sort: lexicographic on (d, i))."""
-    arr = F.array(*_centroid_dists(vec, centroids))
-    return F.transform(F.slice(F.array_sort(arr), 1, nprobe), lambda s: s["i"])
+    arr = ", ".join(_centroid_dists_sql(vec_sql, centroids))
+    return F.expr(f"transform(slice(array_sort(array({arr})), 1, {nprobe}), s -> s.i)")
 
 
 def ivf_topk(
@@ -250,10 +262,10 @@ def ivf_topk(
     n_centroids is exact brute force).
     """
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
-        "cell", ivf_cell_expr(F.col("v"), centroids)
+        "cell", ivf_cell_expr("v", centroids)
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")).withColumn(
-        "cell", F.explode(ivf_probe_cells_expr(F.col("qv"), centroids, nprobe))
+        "cell", F.explode(ivf_probe_cells_expr("qv", centroids, nprobe))
     )
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id", "id", cosine_col(F.col("qv"), F.col("v")).alias("cosine")
@@ -323,7 +335,7 @@ def cosine_neardup_chunked(
     width = bits // chunks
     assert width * chunks == bits, "chunks must divide len(planes)"
     t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    sig = t.withColumn("bucket", hyperplane_bucket_expr(F.col("v"), planes))
+    sig = t.withColumn("bucket", hyperplane_bucket_expr("v", planes))
     chunk_arr = F.array(
         *[
             F.struct(

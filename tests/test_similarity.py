@@ -97,7 +97,7 @@ def test_int_planes_bucket_expr_matches_python(spark, emb):
     got = {
         r["vec_id"]: r["b"]
         for r in emb.limit(100)
-        .select("vec_id", S.hyperplane_bucket_expr(F.col("embedding"), planes).alias("b"))
+        .select("vec_id", S.hyperplane_bucket_expr("embedding", planes).alias("b"))
         .collect()
     }
     import math
