@@ -116,7 +116,7 @@ def main():
         eff = (r_high["events_per_sec"] / r_low["events_per_sec"]) / ratio
         result = {
             "mode": a.mode,
-            "compression": a.compression or "snappy",
+            "compression": a.compression or "zstd (table default)",
             "events": a.events,
             "epochs": a.epochs,
             "trials": a.trials,

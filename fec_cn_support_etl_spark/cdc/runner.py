@@ -210,7 +210,7 @@ def main(argv=None):
     p.add_argument("--warmup", action="store_true", help="run a small throwaway replay first (JVM/codegen warmup)")
     p.add_argument("--vacuum-every", type=int, default=None, help="vacuum superseded snapshots every N applied epochs")
     p.add_argument("--mode", choices=["cow", "mor", "auto"], default="cow", help="copy-on-write bucket rewrite vs merge-on-read delta append; auto picks per epoch by touched-state size vs the cow_state_budget_bytes table prop")
-    p.add_argument("--compression", default=None, help="parquet codec for state/delta writes (e.g. zstd); default snappy")
+    p.add_argument("--compression", default=None, help="parquet codec for state/delta writes; default zstd (LakeTable.DEFAULT_COMPRESSION)")
     p.add_argument("--cow-state-budget-mb", type=int, default=None, help="mode=auto crossover: COW while touched state is below this, MOR above")
     p.add_argument("--compact-every", type=int, default=None, help="fold MOR delta files into base every N applied epochs")
     p.add_argument("--max-delta-files", type=int, default=1, help="compaction threshold: rewrite buckets holding more than this many files")

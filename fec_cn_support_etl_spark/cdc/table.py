@@ -230,18 +230,22 @@ class LakeTable:
         snap = snap or self.current_snapshot()
         return T.StructType.fromJson(json.loads(snap.schema_json[snap.current_schema_id]))
 
+    #: default codec for state/delta writes. zstd (Iceberg's own
+    #: modern parquet default) measured strictly better than snappy on
+    #: the 16M-event scaling protocol in BOTH commit modes — COW
+    #: 446k -> 491k ev/s at 4 cores with efficiency 0.775 -> 0.84 (the
+    #: state rewrite through one disk is the non-scaling term; zstd
+    #: trades spare CPU for ~2x less write IO), MOR 509.7k -> 542.5k
+    #: best-of (BENCH.md round-5 compression A/B).
+    DEFAULT_COMPRESSION = "zstd"
+
     def _write_parquet(self, df: DataFrame, snap: Snapshot, out_dir: str) -> None:
         """All state/delta writes funnel here so table props steer the
-        file format. ``props['write_compression']`` (snappy default,
-        'zstd' for the COW IO-bound regime — the state rewrite through
-        one disk is the non-scaling term, and zstd trades spare CPU for
-        ~2x less write IO; see BENCH.md compression A/B) applies to
-        base rewrites, delta appends, and rebucket copies alike."""
-        w = df.write.mode("overwrite").partitionBy(BUCKET_COL)
-        codec = (snap.props or {}).get("write_compression")
-        if codec:
-            w = w.option("compression", codec)
-        w.parquet(out_dir)
+        file format: ``props['write_compression']`` overrides
+        :data:`DEFAULT_COMPRESSION` for base rewrites, delta appends,
+        and rebucket copies alike."""
+        codec = (snap.props or {}).get("write_compression") or self.DEFAULT_COMPRESSION
+        df.write.mode("overwrite").partitionBy(BUCKET_COL).option("compression", codec).parquet(out_dir)
 
     def state_size_bytes(self, snap: Snapshot | None = None, buckets: list[int] | None = None) -> int:
         """On-disk bytes of the given buckets' current files (base +

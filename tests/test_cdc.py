@@ -571,14 +571,17 @@ def test_auto_mode_crossover_and_digest(spark, wal, tmp_path):
 
 
 def test_write_compression_prop_roundtrip(spark, wal, tmp_path):
-    """props['write_compression']='zstd' must actually produce zstd
-    parquet state files (checked via footer metadata) with an identical
-    final-state digest to the snappy default."""
+    """props['write_compression'] must actually steer the parquet state
+    file codec (checked via footer metadata) with a final-state digest
+    independent of the codec. zstd is also the table DEFAULT (round-5
+    A/B: better throughput AND scaling in both commit modes), so the
+    explicit-prop table and the default table must both be ZSTD, and a
+    snappy override must take effect."""
     import pyarrow.parquet as pq
 
     zstd_dir = str(tmp_path / "zstd")
     plain_dir = str(tmp_path / "plain")
-    runner.replay(spark, wal, plain_dir, n_buckets=16)
+    runner.replay(spark, wal, plain_dir, n_buckets=16, table_props={"write_compression": "snappy"})
     runner.replay(
         spark, wal, zstd_dir, n_buckets=16,
         table_props={"write_compression": "zstd"},
