@@ -42,6 +42,10 @@ _PRIORITY = [
     "time_bucket_rollup",
     "unpivot_measures",
     # new in round 5:
+    "q21_suppliers_waiting",
+    "ngram_decontaminate",
+    "text_repetition_score",
+    "pii_redact",
     "q9_product_type_profit",
     "q11_important_stock",
     "q16_parts_supplier",

@@ -2571,3 +2571,204 @@ def q2_minimum_cost_supplier(spark, sf_dir):
         .limit(100)
         .drop("ps_suppkey")
     )
+
+
+# ============================= round-5 additions: q21 + corpus-curation ops
+# q21 completes the TPC-H shape family buildable from the driver fixture;
+# the three document ops are training-data-pipeline primitives (test-set
+# decontamination, Gopher-style repetition scoring, PII redaction) in the
+# same spirit as the reference's filter/flag discipline
+# (scripts/individual_support.py:47-66 filters + validate_outputs.py checks)
+# generalized to corpus curation.
+
+
+@_q(
+    "q21_suppliers_waiting",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_suppliers_waiting(spark, sf_dir):
+    """TPC-H Q21 shape on the reduced schema (no commit/receipt dates —
+    "kept the order waiting" becomes "shipped strictly last in a
+    multi-supplier finished order"): correlated EXISTS (another supplier
+    participated) + correlated NOT EXISTS with a non-equi residual (no
+    other supplier shipped later).  Both decorrelate to one LEFT SEMI
+    and one LEFT ANTI on the orderkey equi-key, so at 100 TB the fact
+    shuffles on l_orderkey once and both membership probes reuse that
+    partitioning; the semi/anti sides carry only (orderkey, suppkey[,
+    shipdate]) — never payload.  LIMIT is total-ordered via (numwait
+    DESC, s_name)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = li.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.alias("l3")
+    base = l1.join(o, F.col("l1.l_orderkey") == F.col("o_orderkey"), "left_semi")
+    multi = base.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    last = multi.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        last.join(s, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+_WORDS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+@_q(
+    "ngram_decontaminate",
+    rf"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+            FROM w WHERE len(ws) >= 3),
+    g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram FROM pos),
+    eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    tg AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS hit_grams
+    FROM tg WHERE gram IN (SELECT gram FROM eg)
+    GROUP BY doc_id
+    """,
+)
+def ngram_decontaminate(spark, sf_dir):
+    """Test-set decontamination: flag training documents sharing any
+    word 3-gram with the held-out eval slice (doc_id % 97 == 0 stands in
+    for the benchmark set on the fixture).  Grams are built in ONE
+    JVM-side projection (transform over sequence — no UDF, no second
+    scan of text) and exploded; the eval gram set is DISTINCT and tiny
+    relative to the corpus, so the membership probe is a broadcast LEFT
+    SEMI at any scale — the training grams never shuffle.  Real
+    pipelines use 8-13-grams; 3 matches this fixture's ~30-word
+    vocabulary density."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 3)
+    g = w.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3)))")
+        ).alias("gram"),
+    )
+    eg = g.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    tg = g.filter(F.col("doc_id") % 97 != 0)
+    return (
+        tg.join(eg, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("hit_grams"))
+    )
+
+
+@_q(
+    "text_repetition_score",
+    rf"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+            FROM w WHERE len(ws) >= 2),
+    g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram FROM pos),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS total_grams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+           CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_occurrences,
+           CAST(MAX(cnt) AS BIGINT) AS top_gram_count
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_score(spark, sf_dir):
+    """Gopher-style intra-document repetition signal: per-doc duplicate
+    word-bigram occurrence counts (the 'fraction of duplicate n-grams'
+    quality filter, kept integer-valued so the oracle hash needs no
+    float compare).  Both aggregate levels partial-combine BELOW their
+    exchange (plan-gated): the (doc_id, gram) shuffle carries map-side
+    combined counts — on a repetitive corpus (this operator's hot case)
+    that collapses duplicate grams before they cross the wire — and the
+    doc_id shuffle carries one 5-field partial row per doc per
+    partition.  Gram construction is the same single JVM-side
+    projection as ngram_decontaminate."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    g = w.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws)-1), i -> concat_ws(' ', slice(ws, i, 2)))")
+        ).alias("gram"),
+    )
+    c = g.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total_grams"),
+        F.count("*").alias("distinct_grams"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias("dup_occurrences"),
+        F.max("cnt").alias("top_gram_count"),
+    )
+
+
+@_q(
+    "pii_redact",
+    r"""
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now',
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b555-\d{4}\b', '<PHONE>', 'g') AS red_text
+    FROM documents
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII redaction (email + phone regexp_replace, all-occurrence
+    semantics) — pure JVM-side string rewrite, embarrassingly parallel,
+    zero shuffle.  The fixture corpus contains no PII, so both engines
+    deterministically append a synthetic email+phone tail derived from
+    doc_id before redacting (disclosed fixture-limited synthesis: the
+    redaction regexes — the thing under test — run over real text plus
+    the planted matches, and the oracle proves Java-regex vs RE2
+    replace parity on both patterns)."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            planted, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        ),
+        r"\b555-\d{4}\b",
+        "<PHONE>",
+    )
+    return d.select("doc_id", red.alias("red_text"))

@@ -110,6 +110,9 @@ def test_no_forced_broadcast_on_fact_joins(spark, name):
         "text_quality_score",
         "text_lang_id",
         "salted_skew_agg",
+        "ngram_decontaminate",
+        "text_repetition_score",
+        "pii_redact",
     ],
 )
 def test_sketch_and_text_plans_stay_jvm_side(spark, name):
@@ -240,6 +243,30 @@ def test_time_rollup_single_pass(spark):
     assert "Expand" in p
     tree = p.split("(1) Scan")[0]
     assert tree.count("Exchange") == 1
+
+
+def test_decontaminate_eval_grams_broadcast_semi(spark):
+    """The eval-slice gram set is tiny relative to the training corpus;
+    the membership probe must be a BROADCAST left-semi (training grams
+    never shuffle for the join — the only full shuffle the query is
+    allowed is the final per-doc aggregate)."""
+    p = plan(spark, "ngram_decontaminate")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_repetition_score_partial_combines_before_both_shuffles(spark):
+    """One documents scan, exactly two exchanges, and BOTH aggregate
+    levels must map-side combine below their exchange: the
+    (doc_id, gram) shuffle carries partial_count-combined gram counts
+    (duplicate grams — the operator's hot case — collapse before the
+    wire) and the doc_id shuffle carries per-partition partial
+    sum/count/max rows, not per-gram rows."""
+    p = plan(spark, "text_repetition_score")
+    assert p.count("documents.parquet") == 1
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 2
+    assert p.count("partial_count") >= 2 and "partial_sum" in p and "partial_max" in p
 
 
 def test_q15_max_attached_by_broadcast_not_window(spark):
