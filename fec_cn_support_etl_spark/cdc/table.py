@@ -375,6 +375,54 @@ class LakeTable:
             out = out.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return out
 
+    def read_keys(
+        self,
+        keys,
+        snap: Snapshot | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Point / key-set lookup with hash-bucket pruning: the table is
+        hash-bucketed on ``key_cols`` (bucket_expr), so a lookup only
+        ever needs the buckets its keys hash into — at 4096 buckets a
+        10-key probe plans a scan over ~10 bucket directories, not the
+        table.  The bucket ids come from one tiny Spark job over the
+        key set itself (bounded by #keys — this is read *planning*, the
+        same class of driver-side work as the manifest walk), then the
+        pruned ``read`` resolves MOR deltas/tombstones for just those
+        buckets and a broadcast LEFT SEMI drops same-bucket neighbors.
+
+        ``keys``: a DataFrame containing ``key_cols``, or a list of
+        tuples (key_cols order) / dicts.  Key values are cast to the
+        table's key column types first — xxhash64 is type-sensitive, so
+        probing an int key with a string literal must not silently miss
+        its bucket."""
+        snap = snap or self.current_snapshot()
+        cur_schema = self.schema(snap)
+        key_fields = [cur_schema[c] for c in snap.key_cols]
+        if isinstance(keys, DataFrame):
+            kdf = keys
+        else:
+            rows = [
+                tuple(k[c] for c in snap.key_cols) if isinstance(k, dict)
+                else (k if isinstance(k, (tuple, list)) else (k,))
+                for k in keys
+            ]
+            kdf = self.spark.createDataFrame(rows, T.StructType(key_fields))
+        kdf = kdf.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in key_fields]
+        ).distinct()
+        wanted = [
+            r["b"]
+            for r in kdf.select(
+                bucket_expr(snap.key_cols, snap.n_buckets).alias("b")
+            ).distinct().collect()
+        ]
+        if not wanted:
+            base = self.spark.createDataFrame([], cur_schema)
+            return base if include_deleted or DELETED_COL not in base.columns else base.drop(DELETED_COL)
+        base = self.read(snap=snap, buckets=wanted, include_deleted=include_deleted)
+        return base.join(F.broadcast(kdf), on=snap.key_cols, how="left_semi")
+
     # ------------------------------------------------------------ commit
     def commit_merge(
         self,

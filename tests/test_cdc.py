@@ -599,3 +599,61 @@ def test_write_compression_prop_roundtrip(spark, wal, tmp_path):
     assert codecs == {"ZSTD"}, codecs
     assert state_digest(table_state(spark, zstd_dir)) == state_digest(table_state(spark, plain_dir))
     assert t.state_size_bytes(snap) > 0
+
+
+def test_read_keys_bucket_pruned_lookup(spark, wal, tmp_path):
+    """Point/key-set lookup must (a) return exactly the requested live
+    keys with MOR deltas resolved, (b) plan a scan over ONLY the bucket
+    directories the keys hash into (hash-bucket pruning — at 4096
+    buckets a 10-key probe must not list the table), and (c) hide
+    tombstoned keys unless include_deleted."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from fec_cn_support_etl_spark.cdc.table import bucket_expr
+
+    table_dir = str(tmp_path / "lake")
+    runner.replay(spark, wal, table_dir, n_buckets=16, mode="mor")
+    t = LakeTable(spark, table_dir)
+    full = t.read().select("repo", "path", "lsn", "commit").toPandas()
+
+    live = full.sort_values(["repo", "path"]).head(3)
+    live_keys = [tuple(r) for r in live[["repo", "path"]].itertuples(index=False)]
+    keys = live_keys + [("no-such-repo", "nope.py")]
+
+    got = t.read_keys(keys).select("repo", "path", "lsn", "commit")
+    kdf = spark.createDataFrame(keys, "repo string, path string")
+    wanted = {
+        r["b"] for r in kdf.select(bucket_expr(["repo", "path"], 16).alias("b")).distinct().collect()
+    }
+    touched = {
+        int(m.group(1))
+        for f in got.inputFiles()
+        for m in [re.search(r"__bucket=(\d+)", f)]
+        if m
+    }
+    assert touched, "lookup plan lists no files"
+    assert touched <= wanted, f"scan listed buckets outside the key set: {touched - wanted}"
+    assert len(touched) < 16, "no pruning happened"
+
+    gp = got.toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        full[full.apply(lambda r: (r["repo"], r["path"]) in set(live_keys), axis=1)]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(gp, want, check_dtype=False)
+
+    # a key whose LAST image is a delete: visible only with include_deleted
+    raw = pd.concat(
+        [pd.read_parquet(os.path.join(wal, f"epoch={e}")) for e in range(EPOCHS)],
+        ignore_index=True,
+    )
+    last = raw.sort_values("lsn").groupby(["repo", "path"], as_index=False).last()
+    dead = last[last["op"] == "D"][["repo", "path"]]
+    assert len(dead) > 0, "fixture has no net-deleted key"
+    dead_key = [tuple(dead.iloc[0])]
+    assert t.read_keys(dead_key).count() == 0
+    tomb = t.read_keys(dead_key, include_deleted=True)
+    assert tomb.filter(F.col("_deleted")).count() == 1
