@@ -7,14 +7,22 @@ instead advance by the DELTA: this module maintains grouped SUM/COUNT
 aggregates of a LakeTable's live state from ``read_changes`` (CDF),
 touching only what changed:
 
-    delta(group) = contributions(net post-images in range)
-                 - contributions(pre-images of the changed keys)
+    delta(group) = contributions(post-images of the changed keys @ to)
+                 - contributions(pre-images of the changed keys @ from)
 
 - the change feed is O(rows changed) — MOR commits emit their delta
-  files by reference, zero recompute (table.read_changes);
-- pre-images come from a TIME-TRAVEL read at the last-synced version
-  with hash-bucket pruning (``read_keys``) — O(changed buckets), never
-  a table scan;
+  files by reference, zero recompute (table.read_changes) — and is
+  used ONLY for its key set.  The images themselves are re-read from
+  the table, because a by-reference MOR change row can LOSE read-time
+  LWW against the base under out-of-order delivery (a streaming
+  micro-batch carrying lower lsns than an already-applied one): the
+  appended image is then never the table's current state, and an
+  algebra trusting it double-counts.  Caught by the streaming verify
+  drive; regression-pinned in tests;
+- pre- and post-images come from TIME-TRAVEL reads at the last-synced
+  and target versions with hash-bucket pruning (``read_keys``) —
+  O(changed buckets), never a table scan.  Unchanged-key groups cancel
+  exactly in the subtraction;
 - the view update rewrites only groups with a nonzero delta.
 
 SUM/COUNT form a commutative group under retraction (the classic
@@ -37,7 +45,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .table import LakeTable, resolve_lww
+from .table import LakeTable
 
 _MARKER = "_VIEW.json"
 
@@ -148,15 +156,14 @@ class IncrementalAggView:
                 f"change-feed range v{from_v}..v{to_v} is no longer fully retained; "
                 "rebuild with create()"
             ) from exc
-        # several commits in range can carry several images of one key;
-        # only the NET transition (last image vs pre-image) may count
-        net = resolve_lww(changes.drop("_commit_version"), snap.key_cols, snap.order_cols)
-        adds = net.filter(F.col("_change_type") == "upsert").drop("_change_type")
-        keys = net.select(*snap.key_cols).distinct()
+        # the feed contributes only the CHANGED-KEY SET; both images are
+        # re-read from the table (bucket-pruned) — see module docstring
+        keys = changes.select(*snap.key_cols).distinct()
+        post = self.main.read_keys(keys, snap=snap)
         pre = self.main.read_keys(keys, snap=from_snap)
 
         delta = (
-            self._contrib(adds, +1)
+            self._contrib(post, +1)
             .unionByName(self._contrib(pre, -1))
             .groupBy(*self.group_cols)
             .agg(

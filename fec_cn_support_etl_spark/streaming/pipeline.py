@@ -36,6 +36,7 @@ def stream_cdc_ingest(
     use_pandas_udf: bool = True,
     mode: str = "cow",
     compact_every: int | None = None,
+    view=None,
 ):
     """Tail the WAL dir as a stream; upsert each micro-batch. Returns
     the StreamingQuery (caller awaits termination).
@@ -43,7 +44,15 @@ def stream_cdc_ingest(
     ``mode="mor"`` is the streaming sweet spot: micro-batches are small
     relative to table state, so O(batch) delta appends (vs O(touched
     state) rewrites) keep per-trigger latency flat as the table grows;
-    ``compact_every=N`` folds deltas every N micro-batches."""
+    ``compact_every=N`` folds deltas every N micro-batches.
+
+    ``view``: an ``cdc.view.IncrementalAggView`` over ``table`` —
+    refreshed after each applied micro-batch, so the derived aggregate
+    advances by the batch's change-feed delta inside the same trigger
+    (continuous materialized-view maintenance). Idempotence composes:
+    a re-delivered batch is a manifest no-op and ``refresh`` is a pure
+    catch-up to the table's current version (no-op at head), so crash
+    replay cannot double-count the view."""
     batch_schema = spark.read.parquet(wal_dir).schema
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -66,6 +75,8 @@ def stream_cdc_ingest(
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             table.compact(max_files=1)
+        if view is not None:
+            view.refresh()
 
     reader = (
         spark.readStream.schema(batch_schema)

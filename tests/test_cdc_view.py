@@ -116,3 +116,55 @@ def test_view_artifact_dirs_bounded(spark, wal, tmp_path):
         v.refresh()
     vdirs = [d for d in os.listdir(root) if d.startswith("v")]
     assert len(vdirs) <= 2
+
+
+def test_view_exact_under_out_of_order_delivery(spark, tmp_path):
+    """Regression (caught by the streaming verify drive): a MOR
+    micro-batch carrying LOWER lsns than an already-applied one appends
+    delta images that lose read-time LWW against the base — a view
+    trusting the change feed's images double-counts.  The view must
+    stay exact because it re-reads post-images from the table."""
+    import pyspark.sql.types as T
+
+    from fec_cn_support_etl_spark.cdc.engine import apply_epoch
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), runner.TABLE_SCHEMA, key_cols=["repo", "path"],
+        n_buckets=4, order_cols=["lsn"],
+    )
+    v = IncrementalAggView(spark, t, str(tmp_path / "view"), ["lang"], ["lsn"])
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(r[3], "U", r[0], r[1], "c", r[2], "x") for r in rows], ev_schema
+        )
+
+    # high-lsn images land first
+    apply_epoch(spark, t, batch([("r", "a.py", "python", 100), ("r", "b.py", "go", 90)]),
+                epoch="e1", mode="mor", eager_stats=True)
+    v.create()
+    # stale batch: lower lsns for the same keys + one genuinely new key.
+    # a.py/b.py images LOSE LWW; only c.py changes live state.
+    apply_epoch(spark, t, batch([("r", "a.py", "rust", 10), ("r", "b.py", "rust", 9),
+                                 ("r", "c.py", "rust", 8)]),
+                epoch="e0-late", mode="mor", eager_stats=True)
+    v.refresh()
+    got = sorted(tuple(r) for r in v.read().collect())
+    want = sorted(
+        tuple(r)
+        for r in t.read().groupBy("lang").agg({"*": "count", "lsn": "sum"})
+        .selectExpr("lang", "`count(1)` as n_rows", "`sum(lsn)` as sum_lsn").collect()
+    )
+    assert got == want == [("go", 1, 90), ("python", 1, 100), ("rust", 1, 8)]

@@ -248,3 +248,44 @@ def test_stream_mor_lazy_footer_stats_land(spark, wal, tmp_path):
     assert total_deletes >= 0 and batch_deletes >= 0
     assert max_lsn == batch_max_lsn
     assert summary["epochs_applied"] > 0
+
+
+def test_stream_maintains_incremental_view(spark, wal, tmp_path):
+    """CDC -> materialized view, continuously: with a view attached,
+    every micro-batch's change-feed delta lands in the derived
+    aggregate inside the same trigger, and the final view equals a
+    from-scratch groupBy of the table. A checkpoint restart (no new
+    files) must leave the view untouched."""
+    import pandas as pd
+
+    from fec_cn_support_etl_spark.cdc.view import IncrementalAggView
+
+    stream_dir = str(tmp_path / "stream")
+    table = LakeTable.create(
+        spark, stream_dir, runner.TABLE_SCHEMA, key_cols=["repo", "path"],
+        n_buckets=8, order_cols=["lsn"],
+    )
+    view = IncrementalAggView(spark, table, str(tmp_path / "view"), ["lang"], ["lsn"])
+    view.create()  # empty table -> empty view at v0
+    q = stream_cdc_ingest(
+        spark, wal, table, str(tmp_path / "ckpt"), mode="mor", view=view,
+    )
+    q.awaitTermination()
+    assert view.synced_version() == table.current_snapshot().version
+
+    got = view.read().toPandas().sort_values("lang").reset_index(drop=True)
+    want = (
+        table.read()
+        .groupBy("lang")
+        .agg({"*": "count", "lsn": "sum"})
+        .toPandas()
+        .rename(columns={"count(1)": "n_rows", "sum(lsn)": "sum_lsn"})
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["lang", "n_rows", "sum_lsn"]], want[["lang", "n_rows", "sum_lsn"]], check_dtype=False)
+
+    v_synced = view.synced_version()
+    q2 = stream_cdc_ingest(spark, wal, table, str(tmp_path / "ckpt"), mode="mor", view=view)
+    q2.awaitTermination()
+    assert view.synced_version() == v_synced
