@@ -51,6 +51,7 @@ _PRIORITY = [
     "q16_parts_supplier",
     "q20_potential_promotion",
     "q2_minimum_cost_supplier",
+    "approx_distinct_hll",
     "minhash_neardup_pairs_scale",
     "simhash_neardup_pairs",
 ]
