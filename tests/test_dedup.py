@@ -209,16 +209,42 @@ def test_catalog_sweep_releases_sketch_caches(spark):
     """Two consecutive catalog sweeps must not accumulate cache blocks:
     building the NEXT query releases the previous query's registered
     sketch caches (operators/caching.py) — no reliance on the caller
-    calling spark.catalog.clearCache()."""
+    calling spark.catalog.clearCache().
+
+    The assertion is DELTA-based against the shared session's context:
+    earlier tests may leave localCheckpoint RDDs whose async
+    ContextCleaner removal hasn't fired yet (they are persisted entries
+    until the JVM weak refs clear), so an absolute ==0 check is racy.
+    What this test owns is that the SWEEP adds nothing durable.
+    """
+    import gc
+    import time
+
     from fec_cn_support_etl_spark.plans import catalog
 
     sf = "/root/testdata/sf0.001"
     jsc = spark.sparkContext._jsc.sc()
+
+    def rdd_ids():
+        m = jsc.getPersistentRDDs()
+        it = m.keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = rdd_ids()
     for _ in range(2):
         catalog.QUERIES["minhash_neardup_pairs"](spark, sf).count()
-        assert jsc.getPersistentRDDs().size() > 0  # the query did cache
+        assert len(rdd_ids() - before) > 0  # the query did cache
         catalog.QUERIES["simhash_neardup_pairs"](spark, sf).count()
         # at most ONE query's caches alive at any point in the sweep
         catalog.QUERIES["dedup_exact_groups"](spark, sf).count()
     catalog.QUERIES["q1_pricing_summary"](spark, sf)  # plain query construction also releases
-    assert jsc.getPersistentRDDs().size() == 0, "sketch caches leaked across queries"
+    for _ in range(10):  # absorb async ContextCleaner latency
+        leaked = rdd_ids() - before
+        if not leaked:
+            break
+        gc.collect()
+        time.sleep(1)
+    assert not leaked, f"sketch caches leaked across queries: rdd ids {leaked}"
