@@ -43,6 +43,8 @@ _PRIORITY = [
     "unpivot_measures",
     # new in round 5:
     "q21_suppliers_waiting",
+    "pack_sequences",
+    "word_freq_model_score",
     "ngram_decontaminate",
     "text_repetition_score",
     "pii_redact",

@@ -2820,3 +2820,118 @@ def approx_distinct_hll(spark, sf_dir):
         exact.join(merged, "event_type")
         .select("event_type", "n_exact", ok.alias("sketch_ok"))
     )
+
+
+@_q(
+    "pack_sequences",
+    rf"""
+    WITH w AS (SELECT doc_id, source, {_WORDS} AS ws FROM documents),
+    t AS (SELECT doc_id, source, len(ws) AS tok FROM w),
+    c AS (SELECT doc_id, source, tok,
+                 SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+    SELECT source,
+           (cum - tok) // 256 AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(CASE WHEN (cum - 1) // 256 > (cum - tok) // 256
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM c GROUP BY source, (cum - tok) // 256
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """GPT-style contiguous sequence packing ("concatenate the corpus,
+    chunk every 256 tokens"): each document's bin is the context window
+    its FIRST token lands in under a deterministic shard-local order
+    (source, doc_id), via a running-sum window; per (source, bin) the
+    query emits doc count, token mass, and how many docs straddle a
+    window boundary (the padding/fragmentation signal a packing job
+    tunes against).  Analog of the reference's chunked sequential
+    processing discipline (scripts/config.py:76) applied to training-
+    data prep.  100-TB shape: the window partitions by source shard, so
+    there is NO global sort — each shard packs independently after one
+    hash exchange, which is exactly how distributed packing jobs run
+    (pack within shard, emit shard-local bin ids); the per-doc state
+    crossing the shuffle is (doc_id, tok) — never text.  All outputs
+    are integer-exact (token counts, not floats), so the oracle
+    comparison is bit-stable."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("tok"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = t.withColumn("cum", F.sum("tok").over(w))
+    binc = F.expr("(cum - tok) div 256")
+    return (
+        c.withColumn("bin", binc)
+        .withColumn(
+            "crosser",
+            (F.expr("(cum - 1) div 256") > F.col("bin")).cast("int"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("sum_tokens"),
+            F.sum("crosser").cast("long").alias("n_crossers"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@_q(
+    "word_freq_model_score",
+    rf"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    model AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tok WHERE doc_id % 7 = 0 GROUP BY word)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(COALESCE(m.cnt, 0)) AS BIGINT) AS sum_freq,
+           CAST(MIN(COALESCE(m.cnt, 0)) AS BIGINT) AS min_freq
+    FROM tok t LEFT JOIN model m ON t.word = m.word
+    WHERE t.doc_id % 7 <> 0
+    GROUP BY t.doc_id
+    """,
+)
+def word_freq_model_score(spark, sf_dir):
+    """CCNet-style language-model quality filter, integer-exact: train a
+    unigram frequency model on a held-out "clean" reference slice
+    (doc_id % 7 == 0 stands in for the wiki-trained KenLM corpus),
+    then score every training document against it — token count,
+    out-of-vocabulary count, total and minimum model frequency.  Real
+    CCNet emits mean log-prob; log() is libm-dependent and differs in
+    the last ulp across engines, so the catalog emits the SUFFICIENT
+    STATISTICS (per-term counts the monotone log transform applies to
+    downstream) and the oracle comparison stays bit-stable.  100-TB
+    shape: the model is a tiny aggregate (vocabulary-sized) and is
+    broadcast, so the training corpus' exploded tokens NEVER shuffle
+    for the join — the only wide exchange is the per-doc partial-
+    combined 4-field rollup; the reference slice is re-read from the
+    same single scan."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    model = (
+        tok.filter(F.col("doc_id") % 7 == 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    train = tok.filter(F.col("doc_id") % 7 != 0).join(
+        F.broadcast(model), "word", "left"
+    )
+    return train.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("sum_freq"),
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("min_freq"),
+    )

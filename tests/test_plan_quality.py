@@ -305,3 +305,32 @@ def test_rank_functions_share_one_window(spark):
 
     nodes = re.findall(r"\(\d+\) Window", p)
     assert len(nodes) == 1, f"expected 1 Window node, plan has {len(nodes)}"
+
+
+def test_pack_sequences_shard_local_no_global_sort(spark):
+    """Packing must be shard-local: the running-sum window partitions by
+    source, so the plan may hash-exchange but NEVER range-exchange (a
+    rangepartitioning node would mean a global sort — the thing the
+    shard design exists to avoid at 100 TB); the per-doc state crossing
+    the wire is (doc_id, source, tok), never text (column-pruned scan)."""
+    p = plan(spark, "pack_sequences")
+    assert "rangepartitioning" not in p.lower()
+    assert "documents.parquet" in p and p.count("documents.parquet") == 1
+    # ONE exchange total: the window's hash on source; the final
+    # (source, bin) aggregate reuses that partitioning (source alone
+    # already co-locates every (source, bin) group)
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(source" in p
+    assert "Window" in p
+
+
+def test_word_freq_model_probe_is_broadcast(spark):
+    """The unigram model is vocabulary-sized; the training corpus'
+    exploded tokens must probe it via BROADCAST left-outer (no
+    SortMergeJoin — the corpus never shuffles for the join), and both
+    the model aggregate and the per-doc rollup must partial-combine."""
+    p = plan(spark, "word_freq_model_score")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p and "partial_sum" in p and "partial_min" in p
