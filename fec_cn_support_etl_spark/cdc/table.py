@@ -105,32 +105,92 @@ class Snapshot:
         return wm is not None and e.isdigit() and int(e) <= int(wm)
 
 
+def _json_safe(v):
+    """Footer stats must survive the snapshot's JSON round trip:
+    temporal/decimal/bytes min-max values become ISO / decimal / hex
+    STRINGS (ISO-8601 compares lexicographically in timestamp order, so
+    string bounds still prune correctly); JSON-native scalars pass."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    iso = getattr(v, "isoformat", None)
+    return iso() if callable(iso) else str(v)
+
+
+def _one_file_stats(path: str, stat_cols: list[str]) -> dict:
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for c in stat_cols:
+        if c not in idx:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = out.get(c, (None, None))
+            out[c] = (
+                st.min if lo is None else min(lo, st.min),
+                st.max if hi is None else max(hi, st.max),
+            )
+    return {c: {"min": _json_safe(v[0]), "max": _json_safe(v[1])} for c, v in out.items()}
+
+
 def _dir_stats(bdir: str, stat_cols: list[str]) -> dict:
     """Manifest-level file statistics from parquet FOOTERS (no Spark
     job, no data read): per tracked column, the min/max across the
     directory's row groups — what Iceberg keeps per data file, used to
     prune whole files at read planning time."""
-    import pyarrow.parquet as pq
-
     out: dict = {}
     for name in sorted(os.listdir(bdir)):
         if not name.endswith(".parquet"):
             continue
-        md = pq.ParquetFile(os.path.join(bdir, name)).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        for c in stat_cols:
-            if c not in idx:
-                continue
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx[c]).statistics
-                if st is None or not st.has_min_max:
-                    continue
-                lo, hi = out.get(c, (None, None))
-                out[c] = (
-                    st.min if lo is None else min(lo, st.min),
-                    st.max if hi is None else max(hi, st.max),
-                )
-    return {c: {"min": v[0], "max": v[1]} for c, v in out.items()}
+        for c, st in _one_file_stats(os.path.join(bdir, name), stat_cols).items():
+            cur = out.get(c)
+            if cur is None:
+                out[c] = dict(st)
+            else:
+                try:
+                    cur["min"] = min(cur["min"], st["min"])
+                    cur["max"] = max(cur["max"], st["max"])
+                except TypeError:  # mixed types across files: no safe bound
+                    out[c] = {"min": None, "max": None}
+    return out
+
+
+def _file_stats(bdir: str, stat_cols: list[str]) -> dict:
+    """Per-FILE footer stats for one bucket directory — recorded by
+    clustered compaction so range-sliced files inside a resolved bucket
+    can be pruned individually (Iceberg per-data-file manifest stats)."""
+    out: dict = {}
+    for name in sorted(os.listdir(bdir)):
+        if name.endswith(".parquet"):
+            out[name] = _one_file_stats(os.path.join(bdir, name), stat_cols)
+    return out
+
+
+def _overlaps(stats: dict | None, bounds: dict) -> bool:
+    """Could a file/bucket with these recorded stats hold a row
+    satisfying the conjunction of ``bounds``?  Conservative: a missing
+    column, missing stats, or an incomparable bound keeps the file —
+    pruning is only ever an optimization, never a correctness gamble."""
+    if not stats:
+        return True
+    for col, (lo, hi) in bounds.items():
+        st = stats.get(col)
+        if not st or st.get("min") is None or st.get("max") is None:
+            continue
+        try:
+            if lo is not None and st["max"] < lo:
+                return False
+            if hi is not None and st["min"] > hi:
+                return False
+        except TypeError:
+            continue
+    return True
 
 
 def resolve_lww(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
@@ -229,6 +289,14 @@ class LakeTable:
     def schema(self, snap: Snapshot | None = None) -> T.StructType:
         snap = snap or self.current_snapshot()
         return T.StructType.fromJson(json.loads(snap.schema_json[snap.current_schema_id]))
+
+    def _stat_cols(self, snap: Snapshot) -> list[str]:
+        """Columns whose footer min/max are recorded in the manifest at
+        commit time: the built-ins (:data:`STAT_COLS`) plus any declared
+        via ``props['stat_cols']`` (comma-separated) — e.g. an event-time
+        column so time-range reads can zone-map-prune."""
+        extra = [c.strip() for c in str((snap.props or {}).get("stat_cols", "")).split(",") if c.strip()]
+        return list(dict.fromkeys(self.STAT_COLS + extra))
 
     #: default codec for state/delta writes. zstd (Iceberg's own
     #: modern parquet default) measured strictly better than snappy on
@@ -432,6 +500,7 @@ class LakeTable:
         new_schema: T.StructType | None = None,
         lineage: dict | None = None,
         base_snap: Snapshot | None = None,
+        fstat_cols: list[str] | None = None,
     ) -> Snapshot:
         """Write the new state of ``touched_buckets`` (COW), carry every
         other bucket by reference, record the epoch in the manifest, and
@@ -464,12 +533,23 @@ class LakeTable:
             # the write job that just finished — zero extra jobs
             lineage = lineage()
         buckets = {b: files for b, files in snap.buckets.items() if int(b) not in set(touched_buckets)}
+        stat_cols = list(dict.fromkeys(self._stat_cols(snap) + list(fstat_cols or [])))
         for b in touched_buckets:
             bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
             if os.path.isdir(bdir):
-                buckets[str(b)] = [
-                    {"path": bdir, "schema_id": schema_id, "stats": _dir_stats(bdir, self.STAT_COLS)}
-                ]
+                # COW entries are RESOLVED by contract: new_bucket_data is
+                # the bucket's full final state — one image per key, so
+                # files inside the entry hold disjoint key sets and may be
+                # pruned individually by zone-map reads (read_where)
+                entry = {
+                    "path": bdir,
+                    "schema_id": schema_id,
+                    "stats": _dir_stats(bdir, stat_cols),
+                    "resolved": True,
+                }
+                if fstat_cols:
+                    entry["fstats"] = _file_stats(bdir, stat_cols)
+                buckets[str(b)] = [entry]
             # empty bucket (all rows deleted) -> no files, bucket absent
         applied = dict(snap.applied)
         applied[str(epoch)] = {"snapshot": version, "ts": time.time(), **(lineage or {})}
@@ -580,7 +660,7 @@ class LakeTable:
                 bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
                 if os.path.isdir(bdir):
                     buckets.setdefault(str(b), []).append(
-                        {"path": bdir, "schema_id": schema_id, "stats": _dir_stats(bdir, self.STAT_COLS)}
+                        {"path": bdir, "schema_id": schema_id, "stats": _dir_stats(bdir, self._stat_cols(snap))}
                     )
             applied = dict(snap.applied)
             applied[str(epoch)] = {"snapshot": version, "ts": time.time(), **(lineage or {})}
@@ -613,15 +693,33 @@ class LakeTable:
             return snap  # best-effort backstop: a foreign commit will re-trigger
         return compacted if compacted is not None else snap
 
-    def compact(self, max_files: int = 1, buckets: list[int] | None = None) -> Snapshot | None:
+    def compact(
+        self,
+        max_files: int = 1,
+        buckets: list[int] | None = None,
+        cluster_by: str | None = None,
+        slices: int | None = None,
+    ) -> Snapshot | None:
         """Fold delta files back into one base file per bucket: rewrite
         every bucket holding more than ``max_files`` entries with its
         LWW-resolved state (tombstones kept — they still defend against
         late arrivals until purge_tombstones). Returns the new snapshot,
         or None when nothing qualifies. Scheduled like vacuum (the
         runner's --compact-every); read amplification between runs is
-        bounded by epochs-since-compaction."""
+        bounded by epochs-since-compaction.
+
+        ``cluster_by`` (default ``props['cluster_col']``): Iceberg-style
+        rewrite-with-sort-order — the resolved state is range-partitioned
+        on that column before the write, so each bucket directory holds
+        up to ``slices`` files covering DISJOINT value ranges, and
+        per-file footer stats land in the manifest (``fstats``).
+        ``read_where`` then prunes files inside resolved buckets —
+        the layout that makes time-range reads on a 100-TB hash-bucketed
+        CDC table touch only the matching time slices.  Use
+        ``compact(max_files=0, cluster_by=...)`` for a full re-layout
+        (every non-empty bucket qualifies)."""
         snap = self.current_snapshot()
+        cluster_by = cluster_by or (snap.props or {}).get("cluster_col") or None
         cand = [
             int(b)
             for b, files in snap.buckets.items()
@@ -633,9 +731,22 @@ class LakeTable:
             self.read(snap, buckets=cand, include_deleted=True)
             .withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
         )
-        n_write = max(1, min(len(cand), self.spark.sparkContext.defaultParallelism * 2))
-        resolved = resolved.repartition(n_write, F.col(BUCKET_COL))
-        return self.commit_merge(resolved, cand, epoch=f"compact-{snap.version}", base_snap=snap)
+        if cluster_by:
+            n_slices = int(slices or (snap.props or {}).get("cluster_slices", 8))
+            # range exchange on the cluster column: every write task owns
+            # one value slice, so the file it emits into each bucket dir
+            # is range-disjoint from its siblings (NULLs sort first)
+            resolved = resolved.repartitionByRange(n_slices, F.col(cluster_by))
+        else:
+            n_write = max(1, min(len(cand), self.spark.sparkContext.defaultParallelism * 2))
+            resolved = resolved.repartition(n_write, F.col(BUCKET_COL))
+        return self.commit_merge(
+            resolved,
+            cand,
+            epoch=f"compact-{snap.version}",
+            base_snap=snap,
+            fstat_cols=[cluster_by] if cluster_by else None,
+        )
 
     def read_since_lsn(self, min_lsn: int, snap: Snapshot | None = None) -> DataFrame:
         """All row images with lsn >= ``min_lsn`` — file-pruned via the
@@ -669,6 +780,134 @@ class LakeTable:
         for p_ in parts[1:]:
             out = out.unionByName(p_)
         return out.filter(F.col("lsn") >= min_lsn)
+
+    # ------------------------------------------------- zone-map pruned reads
+    def _plan_pruned_scan(self, bounds: dict, snap: Snapshot):
+        """Driver-side zone-map planning for a FINAL-STATE read under a
+        conjunction of column bounds.  Returns ``(clean_by_schema,
+        dirty_buckets, n_pruned_files, n_pruned_buckets)``.
+
+        Pruning granularity is dictated by LWW safety:
+
+        * a bucket whose every entry is disjoint from the bounds holds
+          no satisfying row image at all — its final images cannot
+          satisfy the predicate either, so the WHOLE bucket is skipped;
+        * a bucket made only of RESOLVED entries (COW commits /
+          compaction output) holds exactly one final image per key,
+          and a clustered entry's range-sliced files hold disjoint key
+          sets — individual files prune safely;
+        * a mixed base+delta bucket must be read whole: dropping one
+          out-of-bounds file could drop the WINNING image of a key and
+          let a stale in-bounds delta image surface.  All-or-nothing
+          only."""
+        clean: dict[str, list[str]] = {}
+        dirty: list[int] = []
+        pruned_files = pruned_buckets = 0
+        for b, files in snap.buckets.items():
+            if not any(_overlaps(f.get("stats"), bounds) for f in files):
+                pruned_buckets += 1
+                pruned_files += sum(len(f.get("fstats") or [1]) for f in files)
+                continue
+            if all(f.get("resolved") for f in files):
+                for f in files:
+                    if not _overlaps(f.get("stats"), bounds):
+                        pruned_files += len(f.get("fstats") or [1])
+                        continue
+                    fst = f.get("fstats")
+                    if fst:
+                        kept = [n for n in sorted(fst) if _overlaps(fst[n], bounds)]
+                        pruned_files += len(fst) - len(kept)
+                        clean.setdefault(f["schema_id"], []).extend(
+                            os.path.join(f["path"], n) for n in kept
+                        )
+                    else:
+                        clean.setdefault(f["schema_id"], []).append(f["path"])
+            else:
+                dirty.append(int(b))
+        return clean, dirty, pruned_files, pruned_buckets
+
+    @staticmethod
+    def _bounds_filter(bounds: dict):
+        cond = F.lit(True)
+        for c, (lo, hi) in bounds.items():
+            if lo is not None:
+                cond = cond & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(c) <= F.lit(hi))
+        return cond
+
+    def read_where(
+        self,
+        bounds: dict,
+        snap: Snapshot | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Final-state read restricted to ``bounds`` — a dict
+        ``{col: (lo, hi)}`` of inclusive bounds (None = open side),
+        ANDed together.  Result is EXACTLY ``read().filter(...)``
+        (test-pinned), but files/buckets provably disjoint from the
+        bounds are pruned driver-side from the manifest stats before
+        any Spark job is planned — on a clustered table
+        (``compact(cluster_by=...)``) a narrow time-range read touches
+        only the matching range slices of each bucket.  Bounds must be
+        JSON-stat-comparable literals (ints, strings; temporal stats
+        are stored as ISO strings — pass ISO strings).  Rows, including
+        tombstones under ``include_deleted``, must satisfy the bounds."""
+        snap = snap or self.current_snapshot()
+        cur_schema = self.schema(snap)
+        clean, dirty, _, _ = self._plan_pruned_scan(bounds, snap)
+        parts = []
+        if clean:
+            for sid, paths in sorted(clean.items()):
+                s = T.StructType.fromJson(json.loads(snap.schema_json[sid]))
+                parts.append(_conform(self.spark.read.schema(s).parquet(*paths), cur_schema))
+        if dirty:
+            parts.append(self.read(snap, buckets=dirty, include_deleted=True))
+        if not parts:
+            return self.spark.createDataFrame([], cur_schema).filter(F.lit(False))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        out = out.filter(self._bounds_filter(bounds))
+        if not include_deleted and DELETED_COL in out.columns:
+            out = out.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
+        return out
+
+    def read_images_where(self, bounds: dict, snap: Snapshot | None = None) -> DataFrame:
+        """RAW row images (not LWW-resolved, tombstones included)
+        satisfying ``bounds`` — the generalization of
+        :meth:`read_since_lsn` to any manifest-stat column.  Raw reads
+        need no merge, so pruning is always file-granular: every entry
+        (base, slice, or delta) disjoint from the bounds is skipped —
+        MOR delta dirs are epoch-local in event time and lsn, so
+        incremental audits / late-consumer catch-up over a time window
+        list only that window's files."""
+        snap = snap or self.current_snapshot()
+        cur_schema = self.schema(snap)
+        by_schema: dict[str, list[str]] = {}
+        for files in snap.buckets.values():
+            for f in files:
+                if not _overlaps(f.get("stats"), bounds):
+                    continue
+                fst = f.get("fstats")
+                if fst:
+                    by_schema.setdefault(f["schema_id"], []).extend(
+                        os.path.join(f["path"], n)
+                        for n in sorted(fst)
+                        if _overlaps(fst[n], bounds)
+                    )
+                else:
+                    by_schema.setdefault(f["schema_id"], []).append(f["path"])
+        if not by_schema:
+            return self.spark.createDataFrame([], cur_schema).filter(F.lit(False))
+        parts = []
+        for sid, paths in sorted(by_schema.items()):
+            sch = T.StructType.fromJson(json.loads(snap.schema_json[sid]))
+            parts.append(_conform(self.spark.read.schema(sch).parquet(*paths), cur_schema))
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.filter(self._bounds_filter(bounds))
 
     # ---------------------------------------------------- change data feed
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:

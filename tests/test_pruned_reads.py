@@ -1,0 +1,178 @@
+"""Zone-map pruned reads: clustered compaction writes range-sliced
+files with per-file manifest stats; ``read_where`` must equal a full
+``read().filter(...)`` EXACTLY while provably skipping disjoint
+files/buckets driver-side, and must never prune at file granularity in
+a mixed base+delta bucket (the stale-image trap)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fec_cn_support_etl_spark.cdc.table import BUCKET_COL, LakeTable, bucket_expr
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+    ]
+)
+
+
+def _mk_clustered(spark, root, n=400, n_buckets=4, props=None):
+    t = LakeTable.create(
+        spark,
+        root,
+        SCHEMA,
+        key_cols=["id"],
+        n_buckets=n_buckets,
+        order_cols=["lsn"],
+        props={"stat_cols": "ts", **(props or {})},
+    )
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 37) % 4000).alias("ts"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            F.col("id").alias("lsn"),
+        )
+        .withColumn(BUCKET_COL, bucket_expr(["id"], n_buckets))
+    )
+    t.commit_merge(df, list(range(n_buckets)), epoch="0")
+    snap = t.compact(max_files=0, cluster_by="ts", slices=4)
+    assert snap is not None
+    return t, snap
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("id", "ts", "v", "lsn").collect())
+
+
+def test_clustered_compact_records_sliced_fstats(spark, tmp_path):
+    t, snap = _mk_clustered(spark, str(tmp_path / "lake"))
+    entries = [f for files in snap.buckets.values() for f in files]
+    assert entries and all(f.get("resolved") for f in entries)
+    # range slicing really produced multiple per-file stat entries with
+    # DISJOINT ts ranges inside at least one bucket
+    sliced = [f for f in entries if len(f.get("fstats") or {}) > 1]
+    assert sliced, "expected >1 range-sliced file in some bucket"
+    fst = sliced[0]["fstats"]
+    spans = sorted((s["ts"]["min"], s["ts"]["max"]) for s in fst.values() if "ts" in s)
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo, f"slices overlap: {spans}"
+    # stats survived the snapshot JSON round trip (manifest on disk)
+    on_disk = json.load(open(os.path.join(t._snap_dir, f"v{snap.version}.json")))
+    assert on_disk["buckets"]
+
+
+def test_read_where_prunes_files_and_matches_full_filter(spark, tmp_path):
+    t, snap = _mk_clustered(spark, str(tmp_path / "lake"))
+    bounds = {"ts": (1000, 1999)}
+    clean, dirty, pruned_files, pruned_buckets = t._plan_pruned_scan(bounds, snap)
+    assert not dirty and pruned_files > 0
+    want = _rows(t.read(snap).filter(F.col("ts").between(1000, 1999)))
+    got = _rows(t.read_where(bounds, snap))
+    assert got == want and len(got) > 0
+    # bounds beyond all data: every bucket pruned driver-side, zero rows
+    clean2, dirty2, _, pb = t._plan_pruned_scan({"ts": (10_000, None)}, snap)
+    assert not clean2 and not dirty2 and pb == len(snap.buckets)
+    assert t.read_where({"ts": (10_000, None)}, snap).count() == 0
+
+
+def test_mixed_bucket_never_file_pruned_stale_image_trap(spark, tmp_path):
+    """After a delta append the bucket is mixed; read_where must read it
+    whole.  The trap: key 0's WINNING image (high lsn) moved ts out of
+    the queried range, while a LATE low-lsn image sits in the delta with
+    an in-range ts — file-pruning the base would let the stale image
+    surface.  Key 1 checks the symmetric case (winner in delta)."""
+    t, snap = _mk_clustered(spark, str(tmp_path / "lake"))
+    n_buckets = snap.n_buckets
+    delta = (
+        spark.createDataFrame(
+            [
+                # key 0: base winner will be REPLACED by this higher-lsn
+                # image whose ts leaves the [0, 500] query range
+                (0, 9_999, "new0", 10_000),
+                # key 1: late LOW-lsn duplicate with in-range ts — must
+                # LOSE to the base image regardless of pruning
+                (1, 5, "stale1", -1),
+            ],
+            SCHEMA,
+        )
+        .withColumn(BUCKET_COL, bucket_expr(["id"], n_buckets))
+    )
+    touched = sorted({r[0] for r in delta.select(BUCKET_COL).distinct().collect()})
+    snap2 = t.commit_append_delta(delta, touched, epoch="1")
+    clean, dirty, _, _ = t._plan_pruned_scan({"ts": (0, 500)}, snap2)
+    assert set(dirty) == set(touched)  # mixed buckets read whole
+    want = _rows(t.read(snap2).filter(F.col("ts").between(0, 500)))
+    got = _rows(t.read_where({"ts": (0, 500)}, snap2))
+    assert got == want
+    ids = {r[0] for r in got}
+    assert 0 not in ids, "stale base image of key 0 surfaced"
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][2] == "v1", "late low-lsn delta image beat the base winner"
+
+
+def test_read_images_where_prunes_epoch_local_deltas(spark, tmp_path):
+    """Raw-image reads prune per ENTRY: MOR delta dirs are lsn-local, so
+    an lsn lower bound skips old delta dirs driver-side (the
+    read_since_lsn semantics generalized to any stat column)."""
+    t, snap = _mk_clustered(spark, str(tmp_path / "lake"))
+    for e in (1, 2, 3):
+        lo = 10_000 * e
+        delta = (
+            spark.range(lo, lo + 50)
+            .select(
+                (F.col("id") % 400).alias("id"),
+                ((F.col("id") * 37) % 4000).alias("ts"),
+                F.concat(F.lit("e"), F.lit(e), F.lit("-"), F.col("id")).alias("v"),
+                F.col("id").alias("lsn"),
+            )
+            .withColumn(BUCKET_COL, bucket_expr(["id"], snap.n_buckets))
+        )
+        touched = sorted({r[0] for r in delta.select(BUCKET_COL).distinct().collect()})
+        t.commit_append_delta(delta, touched, epoch=str(e))
+    snap = t.current_snapshot()
+    min_lsn = 30_000
+    got = t.read_images_where({"lsn": (min_lsn, None)})
+    ref = t.read_since_lsn(min_lsn)
+    assert _rows(got) == _rows(ref) and got.count() == 50
+    # epoch-1/2 delta entries (and the clustered base slices) are all
+    # lsn-disjoint from the bound: raw planning keeps only epoch 3's
+    n_entries = sum(len(fs) for fs in snap.buckets.values())
+    kept = 0
+    for files in snap.buckets.values():
+        for f in files:
+            st = (f.get("stats") or {}).get("lsn") or {}
+            if st.get("max") is None or st["max"] >= min_lsn:
+                kept += 1
+    assert kept < n_entries
+
+
+def test_auto_compact_preserves_clustering_from_props(spark, tmp_path):
+    """A table declaring props['cluster_col'] stays clustered through
+    scheduled/auto compaction: plain compact() re-slices and re-records
+    fstats instead of collapsing the layout."""
+    root = str(tmp_path / "lake")
+    t, _ = _mk_clustered(spark, root, props={"cluster_col": "ts"})
+    snap = t.current_snapshot()
+    delta = (
+        spark.createDataFrame([(7, 1234, "upd7", 99_999)], SCHEMA)
+        .withColumn(BUCKET_COL, bucket_expr(["id"], snap.n_buckets))
+    )
+    touched = sorted({r[0] for r in delta.select(BUCKET_COL).distinct().collect()})
+    t.commit_append_delta(delta, touched, epoch="u1")
+    before = _rows(t.read())
+    snap2 = t.compact(max_files=1)  # cluster_by comes from props['cluster_col']
+    assert snap2 is not None
+    assert _rows(t.read(snap2)) == before
+    for b in map(str, touched):
+        entry = snap2.buckets[b][0]
+        assert entry.get("resolved") and entry.get("fstats")
