@@ -45,6 +45,7 @@ _PRIORITY = [
     "q21_suppliers_waiting",
     "pack_sequences",
     "word_freq_model_score",
+    "approx_quantile_rank_bound",
     "ngram_decontaminate",
     "text_repetition_score",
     "pii_redact",

@@ -2935,3 +2935,50 @@ def word_freq_model_score(spark, sf_dir):
         F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("sum_freq"),
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("min_freq"),
     )
+
+
+@_q(
+    "approx_quantile_rank_bound",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def approx_quantile_rank_bound(spark, sf_dir):
+    """Approximate per-group quantiles with a PROVEN rank-error check —
+    the quality-cutoff primitive of a training-data pipeline (length /
+    score distribution thresholds computed without a global sort).
+    ``percentile_approx`` (Greenwald-Khanna, accuracy=100 → rank error
+    ≤ 1/100) picks p50/p95 per event_type in one partial+final
+    aggregate; the query then measures the TRUE rank of each returned
+    value with a second aggregate (count of rows ≤ it, a broadcast join
+    back — never a sort) and asserts |rank/n − q| ≤ 0.03 (bound 0.01
+    plus margin for ties/interpolation).  The emitted booleans are
+    engine-stable so the DuckDB oracle's literal TRUE matches — the
+    same membership-with-proven-gap pattern as approx_distinct_hll /
+    the cosine queries; the float quantile value itself never crosses
+    the compare.  100-TB shape: GK sketch state is O(1/eps · log n)
+    per group regardless of cardinality, both aggregates partial-
+    combine, and the rank audit joins the tiny per-group quantile table
+    back by broadcast, so the fact table never shuffles for it."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 100).alias("p50"),
+        F.percentile_approx("value", 0.95, 100).alias("p95"),
+        F.count("*").alias("n"),
+    )
+    ranked = ev.join(F.broadcast(q), "event_type").groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        (F.sum(F.when(F.col("value") <= F.col("p50"), 1).otherwise(0)) / F.first("n")).alias("r50"),
+        (F.sum(F.when(F.col("value") <= F.col("p95"), 1).otherwise(0)) / F.first("n")).alias("r95"),
+    )
+    return ranked.select(
+        "event_type",
+        "n",
+        (F.abs(F.col("r50") - 0.5) <= 0.03).alias("p50_ok"),
+        (F.abs(F.col("r95") - 0.95) <= 0.03).alias("p95_ok"),
+    )
