@@ -81,7 +81,14 @@ def open_or_create(
     spark: SparkSession, table_dir: str, n_buckets: int, props: dict | None = None
 ) -> LakeTable:
     if LakeTable.exists(table_dir):
-        return LakeTable(spark, table_dir)
+        t = LakeTable(spark, table_dir)
+        if props:
+            # a resumed replay must honor the props the caller asked for
+            # (--compression / --cow-state-budget-mb on an existing
+            # table dir): merge them in with a metadata-only commit
+            # instead of silently keeping creation-time values
+            t.update_props(props)
+        return t
     # order_cols enables merge-on-read commits; harmless for COW (reads
     # only resolve when a bucket actually holds delta files)
     return LakeTable.create(

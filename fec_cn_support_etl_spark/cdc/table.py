@@ -40,7 +40,9 @@ Iceberg's commit protocol.
 
 from __future__ import annotations
 
+import decimal
 import json
+import math
 import os
 import time
 import uuid
@@ -105,17 +107,30 @@ class Snapshot:
         return wm is not None and e.isdigit() and int(e) <= int(wm)
 
 
-def _json_safe(v):
-    """Footer stats must survive the snapshot's JSON round trip:
-    temporal/decimal/bytes min-max values become ISO / decimal / hex
-    STRINGS (ISO-8601 compares lexicographically in timestamp order, so
-    string bounds still prune correctly); JSON-native scalars pass."""
+def _json_safe(v, widen: str | None = None):
+    """Footer stats must survive the snapshot's JSON round trip with
+    their VALUE ORDER intact — pruning compares these later.  JSON-native
+    scalars pass; bytes become hex (equal-radix hex strings compare like
+    the byte arrays); temporal values become ISO-8601 strings
+    (lexicographic == chronological).  Decimals become floats, WIDENED
+    one ulp outward per ``widen`` ('down' for a min, 'up' for a max) so
+    double rounding can never shrink the recorded range and cause a
+    wrong prune.  Anything else is stored as None (= no stats, never
+    pruned): a str() fallback would compare lexicographically, not by
+    value, and silently prune matching files."""
     if v is None or isinstance(v, (bool, int, float, str)):
         return v
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if widen == "down":
+            return math.nextafter(f, -math.inf)
+        if widen == "up":
+            return math.nextafter(f, math.inf)
+        return f
     iso = getattr(v, "isoformat", None)
-    return iso() if callable(iso) else str(v)
+    return iso() if callable(iso) else None
 
 
 def _one_file_stats(path: str, stat_cols: list[str]) -> dict:
@@ -128,15 +143,26 @@ def _one_file_stats(path: str, stat_cols: list[str]) -> dict:
         if c not in idx:
             continue
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx[c]).statistics
-            if st is None or not st.has_min_max:
-                continue
+            try:
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                st.min, st.max  # noqa: B018 — force extraction; may raise
+            except Exception:  # pyarrow: "Cannot extract statistics for type"
+                # unsupported physical type (e.g. decimal on this
+                # pyarrow): record NO stats — the column is simply never
+                # pruned, which is the conservative direction
+                out.pop(c, None)
+                break
             lo, hi = out.get(c, (None, None))
             out[c] = (
                 st.min if lo is None else min(lo, st.min),
                 st.max if hi is None else max(hi, st.max),
             )
-    return {c: {"min": _json_safe(v[0]), "max": _json_safe(v[1])} for c, v in out.items()}
+    return {
+        c: {"min": _json_safe(v[0], widen="down"), "max": _json_safe(v[1], widen="up")}
+        for c, v in out.items()
+    }
 
 
 def _dir_stats(bdir: str, stat_cols: list[str]) -> dict:
@@ -555,6 +581,36 @@ class LakeTable:
         applied[str(epoch)] = {"snapshot": version, "ts": time.time(), **(lineage or {})}
         return self._publish(snap, version, schema_json, schema_id, buckets, applied)
 
+    def update_props(self, props: dict, max_retries: int = 5) -> Snapshot:
+        """Publish a metadata-only snapshot with ``props`` merged over
+        the current ones (Iceberg's ALTER TABLE SET TBLPROPERTIES).
+        A None value removes the key.  Data, schema, and the applied-
+        epoch manifest are carried unchanged; concurrent commits are
+        handled by CAS rebase (props updates commute with data commits)."""
+        for _ in range(max_retries):
+            snap = self.current_snapshot()
+            merged = {**(snap.props or {}), **props}
+            merged = {k: v for k, v in merged.items() if v is not None}
+            if merged == (snap.props or {}):
+                return snap
+            new_snap = Snapshot(
+                version=snap.version + 1,
+                schema_json=snap.schema_json,
+                current_schema_id=snap.current_schema_id,
+                buckets=snap.buckets,
+                applied=snap.applied,
+                key_cols=snap.key_cols,
+                n_buckets=snap.n_buckets,
+                props=merged,
+                order_cols=snap.order_cols,
+            )
+            try:
+                self._write_snapshot(new_snap)
+                return new_snap
+            except CommitConflict:
+                continue  # rebase on the fresh snapshot and retry
+        raise CommitConflict(f"props update lost {max_retries} races")
+
     def _publish(self, snap, version, schema_json, schema_id, buckets, applied) -> Snapshot:
         new_snap = Snapshot(
             version=version,
@@ -609,17 +665,11 @@ class LakeTable:
             self._write_parquet(delta_rows, snap, out_dir)
         if callable(lineage):
             # lazy lineage, resolved after the write with zero extra
-            # jobs: footer-stats callables take the written dir (the
-            # engine reads row counts / lsn range / tombstone counts
-            # from the parquet footers); zero-arg callables (legacy
-            # Observation form) are called bare
-            import inspect
-
-            try:
-                takes_dir = "out_dir" in inspect.signature(lineage).parameters
-            except (TypeError, ValueError):
-                takes_dir = False
-            lineage = lineage(out_dir=out_dir) if takes_dir else lineage()
+            # jobs — single contract: the callable accepts the written
+            # delta dir as ``out_dir`` and derives stats from its
+            # parquet footers (row counts / lsn range / tombstone
+            # counts); see engine._footer_epoch_stats
+            lineage = lineage(out_dir=out_dir)
         if touched_buckets is None:
             # lazy path: the written delta dirs ARE the touched set —
             # no pre-write stats job ever computed it

@@ -162,6 +162,11 @@ class IncrementalAggView:
         post = self.main.read_keys(keys, snap=snap)
         pre = self.main.read_keys(keys, snap=from_snap)
 
+        # persisted: BOTH consumers below (the changed-group count and
+        # the published merge) otherwise re-execute the whole delta
+        # pipeline — change feed + two bucket-pruned key-set reads +
+        # aggregation — doubling exactly the cost the incremental
+        # design exists to minimize
         delta = (
             self._contrib(post, +1)
             .unionByName(self._contrib(pre, -1))
@@ -170,6 +175,7 @@ class IncrementalAggView:
                 F.sum("n_rows").alias("n_rows"),
                 *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
             )
+            .persist()
         )
         old = self.read().alias("o")
         d = delta.alias("d")
@@ -194,6 +200,9 @@ class IncrementalAggView:
             )
             .filter(F.col("n_rows") != 0)
         )
-        n_changed = delta.count()
-        self._publish(merged, to_v)
+        try:
+            n_changed = delta.count()  # materializes the cache for the publish
+            self._publish(merged, to_v)
+        finally:
+            delta.unpersist()
         return {"from": from_v, "to": to_v, "changed_groups": n_changed, "noop": False}

@@ -66,11 +66,20 @@ def cache(df: DataFrame, storage_level=None) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     df = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    # liveness probes are py4j RPCs — do them on a snapshot OUTSIDE the
+    # lock (holding it would serialize every concurrent registration on
+    # up to MAX_REGISTERED JVM round trips), then prune exactly the
+    # entries found dead; entries registered in between are live by
+    # construction
+    with _LOCK:
+        snapshot = list(_REGISTRY)
+    dead = {id(d) for d in snapshot if not _session_active(d)}
     overflow = []
     with _LOCK:
-        # drop entries from stopped sessions first — they hold no
-        # reclaimable blocks and would only age out live entries
-        _REGISTRY[:] = [d for d in _REGISTRY if _session_active(d)]
+        if dead:
+            # drop dead-session entries first — they hold no reclaimable
+            # blocks and would only age out live entries
+            _REGISTRY[:] = [d for d in _REGISTRY if id(d) not in dead]
         _REGISTRY.append(df)
         while len(_REGISTRY) > MAX_REGISTERED:
             overflow.append(_REGISTRY.pop(0))

@@ -2378,7 +2378,7 @@ def q9_product_type_profit(spark, sf_dir):
            CAST(ROUND(SUM(stock_value), 2) AS DOUBLE) AS part_value
     FROM scoped
     GROUP BY ps_partkey
-    HAVING SUM(stock_value) > (SELECT SUM(stock_value) * 0.001 FROM scoped)
+    HAVING SUM(stock_value) * 1000 > (SELECT SUM(stock_value) FROM scoped)
     """,
 )
 def q11_important_stock(spark, sf_dir):
@@ -2390,8 +2390,11 @@ def q11_important_stock(spark, sf_dir):
     wasted (the scoped join is computed once and reused lazily; at
     cluster scale AQE reuses the exchange).  stock_value is an exact
     per-row decimal so both the group sums and the global sum are
-    partition-order invariant; the HAVING compares decimal*decimal
-    identically in both engines."""
+    partition-order invariant; the 0.1% threshold is expressed as the
+    all-integer/decimal rewrite ``1000 * SUM(sv) > total`` in BOTH
+    engines — a double literal 0.001 would promote one side to double
+    and admit ulp-boundary disagreements with DuckDB's exact decimal
+    compare."""
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_3", "NATION_7", "NATION_12", "NATION_19")
@@ -2406,10 +2409,10 @@ def q11_important_stock(spark, sf_dir):
         )
     )
     per_part = scoped.groupBy("ps_partkey").agg(F.sum("stock_value").alias("_sv"))
-    total = scoped.agg((F.sum("stock_value") * F.lit(0.001)).alias("_threshold"))
+    total = scoped.agg(F.sum("stock_value").alias("_total"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("_sv") > F.col("_threshold"))
+        .filter(F.col("_sv") * F.lit(1000) > F.col("_total"))
         .select("ps_partkey", money(F.col("_sv")).alias("part_value"))
     )
 
@@ -2954,10 +2957,13 @@ def approx_quantile_rank_bound(spark, sf_dir):
     score distribution thresholds computed without a global sort).
     ``percentile_approx`` (Greenwald-Khanna, accuracy=100 → rank error
     ≤ 1/100) picks p50/p95 per event_type in one partial+final
-    aggregate; the query then measures the TRUE rank of each returned
-    value with a second aggregate (count of rows ≤ it, a broadcast join
-    back — never a sort) and asserts |rank/n − q| ≤ 0.03 (bound 0.01
-    plus margin for ties/interpolation).  The emitted booleans are
+    aggregate; the query then measures the TRUE rank INTERVAL of each
+    returned value with a second aggregate (count of rows < it and ≤
+    it, a broadcast join back — never a sort) and asserts the interval
+    [lo/n, hi/n] comes within 0.02 of q (bound 0.01 plus margin).  The
+    interval — not a point rank — is what GK guarantees: a value whose
+    tie mass spans q has lo/n ≤ q ≤ hi/n no matter how many rows share
+    it, so heavy ties cannot flip the check.  The emitted booleans are
     engine-stable so the DuckDB oracle's literal TRUE matches — the
     same membership-with-proven-gap pattern as approx_distinct_hll /
     the cosine queries; the float quantile value itself never crosses
@@ -2971,14 +2977,22 @@ def approx_quantile_rank_bound(spark, sf_dir):
         F.percentile_approx("value", 0.95, 100).alias("p95"),
         F.count("*").alias("n"),
     )
+    def _frac(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)) / F.first("n")
+
     ranked = ev.join(F.broadcast(q), "event_type").groupBy("event_type").agg(
         F.first("n").alias("n"),
-        (F.sum(F.when(F.col("value") <= F.col("p50"), 1).otherwise(0)) / F.first("n")).alias("r50"),
-        (F.sum(F.when(F.col("value") <= F.col("p95"), 1).otherwise(0)) / F.first("n")).alias("r95"),
+        _frac(F.col("value") < F.col("p50")).alias("lo50"),
+        _frac(F.col("value") <= F.col("p50")).alias("hi50"),
+        _frac(F.col("value") < F.col("p95")).alias("lo95"),
+        _frac(F.col("value") <= F.col("p95")).alias("hi95"),
     )
+    def _ok(lo, hi, target):
+        return (F.col(lo) <= target + 0.02) & (F.col(hi) >= target - 0.02)
+
     return ranked.select(
         "event_type",
         "n",
-        (F.abs(F.col("r50") - 0.5) <= 0.03).alias("p50_ok"),
-        (F.abs(F.col("r95") - 0.95) <= 0.03).alias("p95_ok"),
+        _ok("lo50", "hi50", 0.5).alias("p50_ok"),
+        _ok("lo95", "hi95", 0.95).alias("p95_ok"),
     )

@@ -176,3 +176,88 @@ def test_auto_compact_preserves_clustering_from_props(spark, tmp_path):
     for b in map(str, touched):
         entry = snap2.buckets[b][0]
         assert entry.get("resolved") and entry.get("fstats")
+
+
+def test_decimal_stat_col_prunes_by_value_not_lexicographically(spark, tmp_path):
+    """The review trap: str()-serialized decimal stats would compare
+    lexicographically ("9.10" > "10.50"), wrongly pruning files that
+    hold in-bounds rows.  Decimal stats must be stored as order-safe
+    widened floats: a [9.10, 9.99] file queried with price <= 10.50 is
+    KEPT, and read_where stays exactly read().filter()."""
+    import decimal as dec
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(10, 2)),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "lake"),
+        schema,
+        key_cols=["id"],
+        n_buckets=2,
+        order_cols=["lsn"],
+        props={"stat_cols": "price"},
+    )
+    df = (
+        spark.range(100)
+        .select(
+            F.col("id"),
+            (F.lit(9.10) + (F.col("id") % 90) / F.lit(100.0)).cast("decimal(10,2)").alias("price"),
+            F.col("id").alias("lsn"),
+        )
+        .withColumn(BUCKET_COL, bucket_expr(["id"], 2))
+    )
+    t.commit_merge(df, [0, 1], epoch="0")
+    snap = t.current_snapshot()
+    # decimal stats are either ABSENT (this pyarrow can't extract them —
+    # conservative: the column never prunes) or order-safe floats; they
+    # must NEVER be lexicographic strings
+    sts = [f["stats"].get("price") for fs in snap.buckets.values() for f in fs]
+    have_stats = [s for s in sts if s is not None]
+    for s in have_stats:
+        assert isinstance(s["min"], float) and isinstance(s["max"], float)
+    bounds = {"price": (None, dec.Decimal("10.50"))}
+    clean, dirty, pf, pb = t._plan_pruned_scan(bounds, snap)
+    assert pb == 0, "every file holds in-bounds rows; lexicographic compare would prune"
+    want = sorted(tuple(r) for r in t.read(snap).filter(F.col("price") <= 10.50).collect())
+    got = sorted(tuple(r) for r in t.read_where(bounds, snap).collect())
+    assert got == want and len(got) == 100
+    if have_stats:
+        # and a genuinely disjoint bound still prunes numerically
+        _, _, _, pb2 = t._plan_pruned_scan({"price": (dec.Decimal("50.00"), None)}, snap)
+        assert pb2 == 2
+    # the order-safety contract itself, independent of pyarrow support:
+    from fec_cn_support_etl_spark.cdc.table import _json_safe, _overlaps
+
+    st = {"price": {"min": _json_safe(dec.Decimal("9.10"), widen="down"),
+                    "max": _json_safe(dec.Decimal("9.99"), widen="up")}}
+    assert _overlaps(st, {"price": (None, dec.Decimal("10.50"))}), "lexicographic misprune"
+    assert not _overlaps(st, {"price": (dec.Decimal("50.00"), None)})
+
+
+def test_update_props_metadata_only_commit(spark, tmp_path):
+    """ALTER-TABLE-SET-TBLPROPERTIES analog: a resumed replay passing
+    table props must see them merged via a metadata-only commit —
+    data, schema, and the applied-epoch manifest carried unchanged;
+    identical props are a no-op (no version bump)."""
+    t, snap0 = _mk_clustered(spark, str(tmp_path / "lake"))
+    before = _rows(t.read())
+    v0 = t.current_snapshot().version
+    s1 = t.update_props({"write_compression": "snappy", "cow_state_budget_bytes": "1024"})
+    assert s1.version == v0 + 1
+    assert s1.props["write_compression"] == "snappy"
+    assert s1.props["stat_cols"] == "ts"  # creation-time props carried
+    assert s1.applied == t.snapshot_at(v0).applied and _rows(t.read()) == before
+    # no-op when nothing changes; None removes a key
+    assert t.update_props({"write_compression": "snappy"}).version == s1.version
+    s2 = t.update_props({"write_compression": None})
+    assert s2.version == s1.version + 1 and "write_compression" not in s2.props
+    # the runner surface honors props on an EXISTING table dir
+    from fec_cn_support_etl_spark.cdc.runner import open_or_create
+
+    t2 = open_or_create(spark, str(tmp_path / "lake"), n_buckets=4, props={"x": "1"})
+    assert t2.current_snapshot().props["x"] == "1"
