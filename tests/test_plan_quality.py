@@ -334,3 +334,13 @@ def test_word_freq_model_probe_is_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "partial_count" in p and "partial_sum" in p and "partial_min" in p
+
+
+def test_quantile_rank_audit_joins_by_broadcast(spark):
+    """The per-group quantile table is tiny; the rank audit must join it
+    back to the fact by BROADCAST (the events relation never shuffles
+    for the join) and both aggregates must partial-combine."""
+    p = plan(spark, "approx_quantile_rank_bound")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_percentile_approx" in p and "partial_sum" in p
