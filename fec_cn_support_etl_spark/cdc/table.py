@@ -540,6 +540,25 @@ class LakeTable:
         new data was computed from a read of the table (optimistic
         concurrency, Iceberg-style). Defaults to the current snapshot
         (safe only for state-independent writes)."""
+        snap, version, schema_json, schema_id, buckets, applied = self._build_merge(
+            new_bucket_data, touched_buckets, epoch, new_schema, lineage, base_snap, fstat_cols
+        )
+        return self._publish(snap, version, schema_json, schema_id, buckets, applied)
+
+    def _build_merge(
+        self,
+        new_bucket_data: DataFrame,
+        touched_buckets: list[int],
+        epoch: str,
+        new_schema: T.StructType | None = None,
+        lineage: dict | None = None,
+        base_snap: Snapshot | None = None,
+        fstat_cols: list[str] | None = None,
+    ):
+        """Everything commit_merge does EXCEPT the publish: write the
+        touched buckets' data and assemble the would-be snapshot parts.
+        Shared by the atomic publish path (commit_merge) and the staged
+        write-audit-publish path (stage_merge)."""
         snap = base_snap or self.current_snapshot()
         version = snap.version + 1
         schema_json = dict(snap.schema_json)
@@ -579,7 +598,109 @@ class LakeTable:
             # empty bucket (all rows deleted) -> no files, bucket absent
         applied = dict(snap.applied)
         applied[str(epoch)] = {"snapshot": version, "ts": time.time(), **(lineage or {})}
-        return self._publish(snap, version, schema_json, schema_id, buckets, applied)
+        return snap, version, schema_json, schema_id, buckets, applied
+
+    # ------------------------------------------------ write-audit-publish
+    @property
+    def _staged_dir(self) -> str:
+        return os.path.join(self.root, "staged")
+
+    def stage_merge(
+        self,
+        new_bucket_data: DataFrame,
+        touched_buckets: list[int],
+        epoch: str,
+        name: str | None = None,
+        new_schema: T.StructType | None = None,
+        lineage: dict | None = None,
+        base_snap: Snapshot | None = None,
+        fstat_cols: list[str] | None = None,
+    ) -> str:
+        """Write-audit-publish, step 1 (Iceberg's WAP / staged branch):
+        write the epoch's data files and the would-be snapshot, but park
+        the snapshot under ``staged/<name>.json`` instead of publishing
+        — readers of the MAIN table never see it.  Step 2 is the audit:
+        ``read_staged(name)`` exposes the staged state to any validation
+        (the reference runs validate_outputs.py before shipping files —
+        scripts/validate_outputs.py:1 — this is that discipline at the
+        table layer).  Step 3: ``publish_staged`` (atomic CAS) or
+        ``discard_staged`` (data dir becomes a vacuumable orphan).
+        Returns the staged name."""
+        snap, version, schema_json, schema_id, buckets, applied = self._build_merge(
+            new_bucket_data, touched_buckets, epoch, new_schema, lineage, base_snap, fstat_cols
+        )
+        name = name or f"wap-{epoch}"
+        os.makedirs(self._staged_dir, exist_ok=True)
+        doc = {
+            "base_version": snap.version,
+            "snapshot": {
+                "version": version,
+                "schema_json": schema_json,
+                "current_schema_id": schema_id,
+                "buckets": buckets,
+                "applied": applied,
+                "key_cols": snap.key_cols,
+                "n_buckets": snap.n_buckets,
+                "props": snap.props,
+                "order_cols": snap.order_cols,
+            },
+        }
+        tmp = os.path.join(self._staged_dir, f".{name}.json.tmp.{os.getpid()}")
+        final = os.path.join(self._staged_dir, f"{name}.json")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        try:
+            os.link(tmp, final)  # a second stage under the same name loses
+        except FileExistsError as e:
+            raise CommitConflict(f"staged snapshot {name!r} already exists") from e
+        finally:
+            os.unlink(tmp)
+        return name
+
+    def list_staged(self) -> list[str]:
+        d = self._staged_dir
+        if not os.path.isdir(d):
+            return []
+        return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+    def _staged_doc(self, name: str) -> dict:
+        with open(os.path.join(self._staged_dir, f"{name}.json")) as fh:
+            return json.load(fh)
+
+    def staged_snapshot(self, name: str) -> Snapshot:
+        return Snapshot(**self._staged_doc(name)["snapshot"])
+
+    def read_staged(self, name: str, include_deleted: bool = False) -> DataFrame:
+        """The table as it WOULD look after ``publish_staged(name)`` —
+        the audit surface: run validation against this before
+        publishing."""
+        return self.read(self.staged_snapshot(name), include_deleted=include_deleted)
+
+    def publish_staged(self, name: str) -> Snapshot:
+        """Atomically promote a staged snapshot to the table's current
+        version (WAP step 3).  Strict fast-forward: the staged state was
+        DERIVED from its base version, so any foreign commit since makes
+        it stale — raises CommitConflict (re-stage from the new base)
+        rather than silently merging; the staged entry is left in place
+        for inspection.  The CAS publish makes a concurrent
+        publish/commit race safe."""
+        doc = self._staged_doc(name)
+        cur = self.current_snapshot()
+        if cur.version != doc["base_version"]:
+            raise CommitConflict(
+                f"staged {name!r} was derived from v{doc['base_version']} but the table "
+                f"is at v{cur.version} — re-stage from the current base"
+            )
+        snap = Snapshot(**doc["snapshot"])
+        self._write_snapshot(snap)  # CAS: loses cleanly to a racing commit
+        os.remove(os.path.join(self._staged_dir, f"{name}.json"))
+        return snap
+
+    def discard_staged(self, name: str) -> None:
+        """Drop a staged snapshot that failed its audit.  Its data dir
+        is no longer referenced by anything and is reclaimed by the next
+        ``vacuum`` like any crashed-commit orphan."""
+        os.remove(os.path.join(self._staged_dir, f"{name}.json"))
 
     def update_props(self, props: dict, max_retries: int = 5) -> Snapshot:
         """Publish a metadata-only snapshot with ``props`` merged over
@@ -1126,6 +1247,10 @@ class LakeTable:
         for v in keep_versions:
             with open(os.path.join(self._snap_dir, f"v{v}.json")) as fh:
                 kept_snaps.append(Snapshot(**json.load(fh)))
+        # staged (write-audit-publish) snapshots reference data dirs too
+        # — a vacuum during the audit window must not eat them
+        for name in self.list_staged():
+            kept_snaps.append(self.staged_snapshot(name))
         referenced = _referenced_dirs(kept_snaps)
         removed = 0
         for vdir in os.listdir(self._data_dir):
