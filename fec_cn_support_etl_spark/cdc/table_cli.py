@@ -5,6 +5,9 @@ surface an operator needs (Iceberg exposes these as `<table>.history`,
     python -m fec_cn_support_etl_spark.cdc.table_cli describe --table /lake
     python -m fec_cn_support_etl_spark.cdc.table_cli history  --table /lake
     python -m fec_cn_support_etl_spark.cdc.table_cli files    --table /lake
+    python -m fec_cn_support_etl_spark.cdc.table_cli staged   --table /lake
+    python -m fec_cn_support_etl_spark.cdc.table_cli publish-staged --table /lake --name wap-7
+    python -m fec_cn_support_etl_spark.cdc.table_cli discard-staged --table /lake --name wap-7
     python -m fec_cn_support_etl_spark.cdc.table_cli compact  --table /lake [--max-files 1]
     python -m fec_cn_support_etl_spark.cdc.table_cli vacuum   --table /lake [--keep-last 1]
 
@@ -94,12 +97,52 @@ def cmd_vacuum(args) -> dict:
     return {"removed_dirs": removed}
 
 
+def cmd_staged(args) -> list[dict]:
+    d = os.path.join(args.table, "staged")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in sorted(os.listdir(d)):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(d, f)) as fh:
+            doc = json.load(fh)
+        snap = doc["snapshot"]
+        out.append(
+            {"name": f[:-5], "base_version": doc["base_version"],
+             "target_version": snap["version"],
+             "epochs": [e for e, m in snap["applied"].items()
+                        if m.get("snapshot") == snap["version"]]}
+        )
+    return out
+
+
+def cmd_publish_staged(args) -> dict:
+    # publish/discard are pure snapshot-JSON operations (the CAS is an
+    # os.link) — no SparkSession needed, like the other metadata cmds
+    from .table import LakeTable
+
+    snap = LakeTable(None, args.table).publish_staged(args.name)
+    return {"published": args.name, "snapshot": snap.version}
+
+
+def cmd_discard_staged(args) -> dict:
+    from .table import LakeTable
+
+    LakeTable(None, args.table).discard_staged(args.name)
+    return {"discarded": args.name, "note": "data dir reclaimed by next vacuum"}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="LakeTable metadata / maintenance CLI")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("describe", "history", "files"):
+    for name in ("describe", "history", "files", "staged"):
         sp = sub.add_parser(name)
         sp.add_argument("--table", required=True)
+    for name in ("publish-staged", "discard-staged"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--table", required=True)
+        sp.add_argument("--name", required=True)
     sp = sub.add_parser("compact")
     sp.add_argument("--table", required=True)
     sp.add_argument("--max-files", type=int, default=1)
@@ -110,6 +153,8 @@ def main(argv=None) -> int:
     sp.add_argument("--master", default=None)
     args = p.parse_args(argv)
     out = {"describe": cmd_describe, "history": cmd_history, "files": cmd_files,
+           "staged": cmd_staged, "publish-staged": cmd_publish_staged,
+           "discard-staged": cmd_discard_staged,
            "compact": cmd_compact, "vacuum": cmd_vacuum}[args.cmd](args)
     print(json.dumps(out, indent=1, default=str))
     return 0

@@ -113,3 +113,29 @@ def test_duplicate_stage_name_loses(spark, tmp_path):
         t.stage_merge(_df(spark, 0, 10, tag="b"), [0, 1], epoch="1b", name="x")
     assert t.list_staged() == ["x"]
     assert os.path.isdir(t._staged_dir)
+
+
+def test_wap_cli_spark_free_roundtrip(spark, tmp_path, capsys):
+    """The staged/publish-staged/discard-staged subcommands are pure
+    snapshot-JSON operations — an operator can audit-gate a publish
+    from anywhere that sees the storage, no SparkSession."""
+    import json as _json
+
+    from fec_cn_support_etl_spark.cdc import table_cli
+
+    root = str(tmp_path / "lake")
+    t = _mk(spark, root)
+    t.stage_merge(_df(spark, 0, 20, tag="cli"), [0, 1], epoch="9", name="wap-9")
+
+    table_cli.main(["staged", "--table", root])
+    listed = _json.loads(capsys.readouterr().out)
+    assert listed[0]["name"] == "wap-9" and listed[0]["epochs"] == ["9"]
+
+    table_cli.main(["publish-staged", "--table", root, "--name", "wap-9"])
+    out = _json.loads(capsys.readouterr().out)
+    assert out["snapshot"] == t.current_snapshot().version and t.is_applied("9")
+
+    t.stage_merge(_df(spark, 0, 5, tag="z"), [0], epoch="10", name="wap-10")
+    table_cli.main(["discard-staged", "--table", root, "--name", "wap-10"])
+    capsys.readouterr()
+    assert t.list_staged() == []
