@@ -46,6 +46,7 @@ _PRIORITY = [
     "pack_sequences",
     "word_freq_model_score",
     "approx_quantile_rank_bound",
+    "neardup_soft_dedup",
     "ngram_decontaminate",
     "text_repetition_score",
     "pii_redact",

@@ -2996,3 +2996,70 @@ def approx_quantile_rank_bound(spark, sf_dir):
         _ok("lo50", "hi50", 0.5).alias("p50_ok"),
         _ok("lo95", "hi95", 0.95).alias("p95_ok"),
     )
+
+
+@_q(
+    "neardup_soft_dedup",
+    rf"""
+    WITH RECURSIVE pairs AS ({_CHAR5_JACCARD_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT a AS node, b AS peer FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a
+    ),
+    memb AS (
+      SELECT node AS doc_id, least(node, MIN(peer)) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    whole AS (
+      SELECT d.doc_id,
+             COALESCE(m.cluster_id, d.doc_id) AS cluster_id,
+             len({_WORDS}) AS tok
+      FROM documents d LEFT JOIN memb m ON d.doc_id = m.doc_id
+    )
+    SELECT cluster_id AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS weight,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens
+    FROM whole GROUP BY cluster_id
+    """,
+)
+def neardup_soft_dedup(spark, sf_dir):
+    """Soft dedup — the repetition-aware alternative to dropping
+    near-dups: keep ONE canonical document per near-dup cluster but
+    carry the cluster's multiplicity as a training WEIGHT (weight=1 for
+    singletons), plus the cluster's total token mass for budget
+    accounting.  Upweighting-one-copy is how modern corpus pipelines
+    preserve the distributional signal that hard dedup throws away.
+    Composition: the exact >= 0.8 Jaccard pair graph (same pipeline and
+    oracle pair set as minhash_neardup_pairs) -> min-label connected
+    components -> LEFT join back to the FULL corpus (singletons
+    coalesce to their own id) -> per-cluster rollup.  100-TB shape:
+    everything downstream of pair finding touches (doc_id, cluster_id,
+    tok) triples only — text never crosses a shuffle after the shingle
+    stage; the rollup partial-combines."""
+    from ..operators.dedup import neardup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
+    sig = caching.cache(minhash_signatures(sh, num_hashes=48))
+    cand = minhash_lsh_pairs(sig, bands=16)
+    pruned = signature_verify(cand, sig, threshold=0.45).select("id_a", "id_b")
+    pairs = jaccard_verify(pruned, sh, threshold_frac=(4, 5)).select("id_a", "id_b")
+    memb = neardup_clusters(pairs).select("doc_id", "cluster_id")
+    whole = (
+        d.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("tok"),
+        )
+        .join(memb, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    return whole.groupBy(F.col("cluster_id").alias("keep_doc_id")).agg(
+        F.count("*").alias("weight"),
+        F.sum("tok").alias("total_tokens"),
+    )
