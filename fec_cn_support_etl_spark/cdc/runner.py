@@ -112,6 +112,8 @@ def replay(
     compact_every: int | None = None,
     max_delta_files: int = 1,
     table_props: dict | None = None,
+    expectations: list | None = None,
+    quarantine_dir: str | None = None,
     log=print,
 ) -> dict:
     """Apply every pending epoch; returns summary incl. events/sec.
@@ -146,11 +148,24 @@ def replay(
         pending = [e for e in epochs if not table.is_applied(e)][:stop_after]
         epochs = [e for e in epochs if table.is_applied(e)] + pending
 
+    exp_metrics: dict = {}
+
     def _prepare(ep):
         epoch_dir = os.path.join(wal_dir, f"epoch={ep}")
         n, schema = _epoch_footer(epoch_dir)
         reader = spark.read.schema(schema) if schema is not None else spark.read
         batch = reader.parquet(epoch_dir)
+        if expectations:
+            # data-quality gate at the front door: the clean batch is
+            # what the epoch ingests; violations are counted (and
+            # quarantined) per epoch, surfaced in the summary
+            from .expectations import apply_expectations
+
+            batch, m = apply_expectations(
+                batch, expectations, quarantine_dir=quarantine_dir, epoch=str(ep)
+            )
+            exp_metrics[str(ep)] = m
+            n = m["_rows_in"] - m["_rows_dropped"]
         prep = prepare_epoch(
             spark,
             table,
@@ -196,12 +211,15 @@ def replay(
             _finish(*_prepare(ep))
 
     wall = time.time() - t0
-    return {
+    out = {
         "epochs_applied": applied,
         "events": total_events,
         "wall_sec": wall,
         "events_per_sec": total_events / wall if wall > 0 else 0.0,
     }
+    if exp_metrics:
+        out["expectations"] = exp_metrics
+    return out
 
 
 def main(argv=None):
