@@ -509,8 +509,11 @@ def _footer_epoch_stats(out_dir: str | None) -> dict:
                             mx = st.max if mx is None else max(mx, st.max)
                     if DELETED_COL in idx:
                         st = rgm.column(idx[DELETED_COL]).statistics
-                        nulls = st.null_count if st is not None and st.has_null_count else 0
-                        n_del += rgm.num_rows - nulls
+                        if st is None or not st.has_null_count:
+                            # Missing footer stats must degrade to ZERO counted
+                            # deletes, not "whole row group is deletes".
+                            continue
+                        n_del += rgm.num_rows - st.null_count
     return {
         "n_events": n_rows,
         "n_keys": n_rows,

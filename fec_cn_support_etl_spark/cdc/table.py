@@ -786,11 +786,17 @@ class LakeTable:
             self._write_parquet(delta_rows, snap, out_dir)
         if callable(lineage):
             # lazy lineage, resolved after the write with zero extra
-            # jobs — single contract: the callable accepts the written
-            # delta dir as ``out_dir`` and derives stats from its
-            # parquet footers (row counts / lsn range / tombstone
-            # counts); see engine._footer_epoch_stats
-            lineage = lineage(out_dir=out_dir)
+            # jobs.  Two accepted shapes: callable(out_dir=...) derives
+            # stats from the written delta dir's parquet footers
+            # (engine._footer_epoch_stats); a zero-arg callable is the
+            # commit_merge/Observation contract and still works here.
+            import inspect as _inspect
+
+            params = _inspect.signature(lineage).parameters
+            takes_out_dir = "out_dir" in params or any(
+                p.kind is p.VAR_KEYWORD for p in params.values()
+            )
+            lineage = lineage(out_dir=out_dir) if takes_out_dir else lineage()
         if touched_buckets is None:
             # lazy path: the written delta dirs ARE the touched set —
             # no pre-write stats job ever computed it
@@ -1035,7 +1041,13 @@ class LakeTable:
         if dirty:
             parts.append(self.read(snap, buckets=dirty, include_deleted=True))
         if not parts:
-            return self.spark.createDataFrame([], cur_schema).filter(F.lit(False))
+            # Schema must match the non-empty branch (and read().filter(...)):
+            # drop the internal tombstone column unless the caller asked for it
+            # — mirrors read_keys' empty path.
+            empty = self.spark.createDataFrame([], cur_schema).filter(F.lit(False))
+            if not include_deleted and DELETED_COL in empty.columns:
+                empty = empty.drop(DELETED_COL)
+            return empty
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)

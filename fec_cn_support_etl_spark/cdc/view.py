@@ -29,8 +29,11 @@ SUM/COUNT form a commutative group under retraction (the classic
 incremental-view algebra), so the maintained view is EXACTLY equal to
 a from-scratch ``read().groupBy(...)`` at every sync point — the tests
 pin that equality through inserts, updates, deletes and compaction.
-MIN/MAX are deliberately absent: they are not retractable without
-per-group history.
+The exactness claim holds for EXACT arithmetic only, so ``sum_cols``
+are validated at construction to be integral/decimal (float SUM is
+non-associative and would let the maintained view drift).  MIN/MAX
+are deliberately absent: they are not retractable without per-group
+history.
 
 Retention contract: ``refresh`` reads snapshots back to the last sync,
 so run it before ``vacuum`` trims them (same rule as any CDF consumer).
@@ -79,6 +82,22 @@ class IncrementalAggView:
         self.root = root
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols or [])
+        # The retraction algebra is EXACT only under exact arithmetic:
+        # float sums are non-associative, so an incrementally maintained
+        # double SUM could drift from a from-scratch aggregate.
+        import pyspark.sql.types as T
+
+        schema = {f.name: f.dataType for f in main.schema()}
+        for c in self.sum_cols:
+            dt = schema.get(c)
+            if dt is not None and not isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)
+            ):
+                raise TypeError(
+                    f"sum_col {c!r} has non-exact type {dt.simpleString()}; "
+                    "incremental SUM retraction is only exact for integral/"
+                    "decimal columns — cast the column or aggregate it as decimal"
+                )
 
     # ------------------------------------------------------------ state
     def _marker_path(self) -> str:

@@ -168,3 +168,28 @@ def test_view_exact_under_out_of_order_delivery(spark, tmp_path):
         .selectExpr("lang", "`count(1)` as n_rows", "`sum(lsn)` as sum_lsn").collect()
     )
     assert got == want == [("go", 1, 90), ("python", 1, 100), ("rust", 1, 8)]
+
+
+def test_view_rejects_float_sum_cols(spark, tmp_path):
+    """SUM retraction is only exact under exact arithmetic: a double
+    sum_col must be rejected at construction, not silently drift."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from fec_cn_support_etl_spark.cdc.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), schema,
+        key_cols=["id"], n_buckets=2, order_cols=["lsn"],
+    )
+    with pytest.raises(TypeError, match="non-exact type"):
+        IncrementalAggView(spark, t, str(tmp_path / "view"), ["id"], ["score"])
+    # integral/decimal columns stay accepted
+    IncrementalAggView(spark, t, str(tmp_path / "view2"), ["id"], ["lsn"])

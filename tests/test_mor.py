@@ -511,3 +511,80 @@ def test_mor_lazy_epoch_folds_stats_into_write_job(spark, wal, tmp_path):
     # and the observed stats equal the eagerly-computed ones exactly
     for f in ("n_keys", "n_deletes", "min_lsn", "max_lsn", "touched_buckets"):
         assert getattr(lazy_res, f) == getattr(eager_res, f), f
+
+
+def test_footer_stats_missing_statistics_degrade_to_zero_deletes(tmp_path):
+    """A parquet file written WITHOUT footer statistics must contribute
+    zero counted deletes (the review trap: defaulting null_count to 0
+    counted the whole row group as deletes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fec_cn_support_etl_spark.cdc.engine import _footer_epoch_stats
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "lsn": pa.array([10, 11, 12, 13], pa.int64()),
+            "_deleted": pa.array([True, None, None, True], pa.bool_()),
+        }
+    )
+    d_stats = str(tmp_path / "with_stats")
+    d_none = str(tmp_path / "no_stats")
+    os.makedirs(d_stats), os.makedirs(d_none)
+    pq.write_table(tbl, os.path.join(d_stats, "part-0.parquet"))
+    pq.write_table(
+        tbl, os.path.join(d_none, "part-0.parquet"), write_statistics=False
+    )
+    st = _footer_epoch_stats(d_stats)
+    assert st == {
+        "n_events": 4, "n_keys": 4, "n_deletes": 2, "min_lsn": 10, "max_lsn": 13,
+    }
+    st2 = _footer_epoch_stats(d_none)
+    assert st2["n_events"] == 4
+    assert st2["n_deletes"] == 0, "missing stats must not count as all-deletes"
+    assert st2["min_lsn"] is None and st2["max_lsn"] is None
+
+
+def test_append_delta_accepts_zero_arg_lineage_callable(spark, tmp_path):
+    """commit_append_delta must honor BOTH lazy-lineage contracts: the
+    footer-stats shape callable(out_dir=...) and the zero-arg
+    Observation shape commit_merge documents."""
+    from pyspark.sql import types as T
+
+    from fec_cn_support_etl_spark.cdc.table import BUCKET_COL, bucket_expr
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), schema,
+        key_cols=["id"], n_buckets=2, order_cols=["lsn"],
+    )
+    base = (
+        spark.createDataFrame([(1, "a", 1), (2, "b", 1)], schema)
+        .withColumn(BUCKET_COL, bucket_expr(["id"], 2))
+    )
+    t.commit_merge(base, [0, 1], epoch="0")
+    delta = (
+        spark.createDataFrame([(1, "a2", 2)], schema)
+        .withColumn(BUCKET_COL, bucket_expr(["id"], 2))
+    )
+    snap = t.commit_append_delta(
+        delta, None, epoch="1", lineage=lambda: {"mode": "observation"}
+    )
+    assert snap.applied["1"]["mode"] == "observation"
+    assert snap.applied["1"]["touched_buckets"] >= 1
+    delta2 = (
+        spark.createDataFrame([(2, "b2", 3)], schema)
+        .withColumn(BUCKET_COL, bucket_expr(["id"], 2))
+    )
+    snap2 = t.commit_append_delta(
+        delta2, None, epoch="2",
+        lineage=lambda out_dir: {"saw_dir": out_dir is not None},
+    )
+    assert snap2.applied["2"]["saw_dir"] is True

@@ -79,10 +79,20 @@ def test_read_where_prunes_files_and_matches_full_filter(spark, tmp_path):
     want = _rows(t.read(snap).filter(F.col("ts").between(1000, 1999)))
     got = _rows(t.read_where(bounds, snap))
     assert got == want and len(got) > 0
-    # bounds beyond all data: every bucket pruned driver-side, zero rows
+    # bounds beyond all data: every bucket pruned driver-side, zero rows,
+    # and the SCHEMA still matches the non-empty branch (the internal
+    # _deleted column must be dropped on the all-pruned early return too)
     clean2, dirty2, _, pb = t._plan_pruned_scan({"ts": (10_000, None)}, snap)
     assert not clean2 and not dirty2 and pb == len(snap.buckets)
-    assert t.read_where({"ts": (10_000, None)}, snap).count() == 0
+    empty = t.read_where({"ts": (10_000, None)}, snap)
+    assert empty.count() == 0
+    assert empty.columns == t.read_where(bounds, snap).columns
+    assert empty.columns == t.read(snap).columns
+    # include_deleted=True agrees between the paths too (this fixture
+    # never wrote tombstones, so neither path carries _deleted)
+    empty_d = t.read_where({"ts": (10_000, None)}, snap, include_deleted=True)
+    full_d = t.read_where(bounds, snap, include_deleted=True)
+    assert empty_d.columns == full_d.columns
 
 
 def test_mixed_bucket_never_file_pruned_stale_image_trap(spark, tmp_path):
@@ -261,3 +271,52 @@ def test_update_props_metadata_only_commit(spark, tmp_path):
 
     t2 = open_or_create(spark, str(tmp_path / "lake"), n_buckets=4, props={"x": "1"})
     assert t2.current_snapshot().props["x"] == "1"
+
+
+def test_read_where_all_pruned_drops_tombstone_col(spark, tmp_path):
+    """The review trap: on a tombstone-bearing table, read_where's
+    all-pruned early return must still drop _deleted when
+    include_deleted=False — matching read().filter(...) and its own
+    non-empty branch (read_keys' empty path already did this)."""
+    from fec_cn_support_etl_spark.cdc.table import DELETED_COL
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField(DELETED_COL, T.BooleanType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "lake"),
+        schema,
+        key_cols=["id"],
+        n_buckets=2,
+        order_cols=["lsn"],
+        props={"stat_cols": "ts"},
+    )
+    df = (
+        spark.range(50)
+        .select(
+            F.col("id"),
+            (F.col("id") * 10).alias("ts"),
+            F.col("id").alias("lsn"),
+            (F.col("id") % 7 == 0).alias(DELETED_COL),
+        )
+        .withColumn(BUCKET_COL, bucket_expr(["id"], 2))
+    )
+    t.commit_merge(df, [0, 1], epoch="0")
+    snap = t.compact(max_files=0, cluster_by="ts", slices=2)
+    live_cols = t.read(snap).columns
+    assert DELETED_COL not in live_cols
+    # in-bounds read agrees with filter()
+    assert t.read_where({"ts": (0, 100)}, snap).columns == live_cols
+    # ALL-pruned read: driver-side empty, schema still tombstone-free
+    clean, dirty, _, pb = t._plan_pruned_scan({"ts": (99_999, None)}, snap)
+    assert not clean and not dirty and pb == 2
+    empty = t.read_where({"ts": (99_999, None)}, snap)
+    assert empty.count() == 0 and empty.columns == live_cols
+    # and include_deleted=True keeps it on both paths
+    assert DELETED_COL in t.read_where({"ts": (99_999, None)}, snap, include_deleted=True).columns
