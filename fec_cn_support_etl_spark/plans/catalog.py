@@ -3005,6 +3005,108 @@ def approx_quantile_rank_bound(spark, sf_dir):
 
 
 @_q(
+    "quantile_sketch_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def quantile_sketch_rollup(spark, sf_dir):
+    """PERSISTABLE mergeable quantiles — the rank-bound query's missing
+    scale path.  ``percentile_approx`` recomputes from raw rows every
+    time; here each (event_type, day) builds a bounded MRL/KLL-family
+    sketch (operators/qsketch.py, Arrow-batched applyInPandas, ~KBs of
+    state per day regardless of row count) that serializes to a BINARY
+    column, and per event_type the day sketches fold into one summary —
+    so tomorrow's quantile cutoff unions ONE new day sketch instead of
+    rescanning history, exactly the economics approx_distinct_hll gives
+    distinct counts.  Estimated p50/p95 are then audited against their
+    TRUE rank interval (broadcast join-back, tie-proof, no sort — same
+    audit as approx_quantile_rank_bound) with a proven ±0.05 margin;
+    the emitted booleans are engine-stable so the oracle's literal TRUE
+    matches (tests pin the actual error far smaller, plus sketch
+    partitioning-invariance down to bytes).  Exact ``n`` comes from the
+    sketch rows' exact counters; ``n_days`` is the per-group sketch-row
+    count — both deterministic.  100-TB shape: raw rows shuffle once
+    into (group, day) builders; the rollup and audit stages move only
+    sketch rows and the 5-row quantile table (broadcast)."""
+    from fec_cn_support_etl_spark.operators.qsketch import (
+        build_day_sketches,
+        rollup_sketches,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("d"), "value")
+    )
+    daily = build_day_sketches(ev, ["event_type"], "d", "value")
+    est = rollup_sketches(daily, ["event_type"], "d", [0.5, 0.95])
+    days = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    q = est.join(days, "event_type")
+
+    def _frac(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)) / F.first("n_rows")
+
+    ranked = (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_rows").alias("n"),
+            F.first("n_days").alias("n_days"),
+            _frac(F.col("value") < F.col("q50")).alias("lo50"),
+            _frac(F.col("value") <= F.col("q50")).alias("hi50"),
+            _frac(F.col("value") < F.col("q95")).alias("lo95"),
+            _frac(F.col("value") <= F.col("q95")).alias("hi95"),
+        )
+    )
+
+    def _ok(lo, hi, target):
+        return (F.col(lo) <= target + 0.05) & (F.col(hi) >= target - 0.05)
+
+    return ranked.select(
+        "event_type",
+        "n",
+        "n_days",
+        _ok("lo50", "hi50", 0.5).alias("p50_ok"),
+        _ok("lo95", "hi95", 0.95).alias("p95_ok"),
+    )
+
+
+@_q(
+    "bloom_pruned_join",
+    """
+    SELECT p.p_brand,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type LIKE 'PROMO%'
+    GROUP BY p.p_brand
+    """,
+)
+def bloom_pruned_join(spark, sf_dir):
+    """The runtime-bloom-filter join shape: revenue per brand over
+    PROMO parts, no join hints (size threshold/AQE picks broadcast at
+    test scale, shuffle join at 100 TB where a multi-GB filtered dim
+    cannot broadcast).  In the shuffle regime Spark's
+    InjectRuntimeFilter builds a bloom over the filtered dim keys and
+    pushes ``might_contain`` into the fact side BEFORE its shuffle, so
+    ~5/6 of lineitem never crosses the wire.  Results are identical
+    with or without the injection (pure pruning), so this catalog
+    entry runs under session defaults; plans/bloom_demo.py scopes the
+    past-broadcast regime + injection thresholds,
+    tests/test_plan_quality.py gates the filter landing fact-side, and
+    scripts/bench_bloom.py records the shuffle-volume delta."""
+    from .bloom_demo import promo_brand_revenue
+
+    return promo_brand_revenue(spark, sf_dir)
+
+
+@_q(
     "neardup_soft_dedup",
     rf"""
     WITH RECURSIVE pairs AS ({_CHAR5_JACCARD_SQL}),

@@ -344,3 +344,33 @@ def test_quantile_rank_audit_joins_by_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "partial_percentile_approx" in p and "partial_sum" in p
+
+
+def test_runtime_bloom_filter_lands_on_fact_side(spark):
+    """bloom_pruned_join under the demo thresholds: InjectRuntimeFilter
+    must put a bloom might_contain on the lineitem (fact) side before
+    its shuffle; under session defaults the same query plans WITHOUT
+    the filter (10GB application threshold) and both produce identical
+    results — the filter is pure pruning."""
+    from fec_cn_support_etl_spark.plans.bloom_demo import (
+        BLOOM_DEMO_CONFS,
+        has_runtime_bloom,
+        promo_brand_revenue,
+        scoped_confs,
+    )
+
+    plain = promo_brand_revenue(spark, SF)
+    assert not has_runtime_bloom(plain), "defaults must not inject at 10GB threshold"
+    rows_plain = {tuple(r) for r in plain.collect()}
+    with scoped_confs(spark, BLOOM_DEMO_CONFS):
+        filtered = promo_brand_revenue(spark, SF)
+        assert has_runtime_bloom(filtered), "demo thresholds must inject the bloom"
+        opt = filtered._jdf.queryExecution().optimizedPlan().toString()
+        # the might_contain guards the FACT column pre-shuffle, and the
+        # bloom is BUILT from the filtered dim keys
+        assert "xxhash64(l_partkey" in opt.split("might_contain", 1)[1].splitlines()[0]
+        assert "bloom_filter_agg(xxhash64(p_partkey" in opt
+        rows_bloom = {tuple(r) for r in filtered.collect()}
+    assert rows_plain == rows_bloom
+    # and the session is restored: a fresh plan has no bloom again
+    assert not has_runtime_bloom(promo_brand_revenue(spark, SF))
