@@ -67,6 +67,58 @@ def _steal_sample(dur_sec: float = 2.0) -> float | None:
         return None
 
 
+def _competing_procs() -> int:
+    """Count java/pytest processes that do NOT belong to this bench
+    (ancestor-of check via /proc PPid chains).  Local-process contention
+    is invisible to ``host_steal_pct`` — a stray pytest/JVM tail turned
+    r5's driver bench into a phantom 29% regression — so the emitted
+    JSON carries this count to make contended runs self-labeling."""
+    me = os.getpid()
+
+    def _stat(pid: str) -> tuple[str, int] | None:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().split()
+            return parts[1].strip("()"), int(parts[3])
+        except (OSError, IndexError, ValueError):
+            return None
+
+    def _is_mine(pid: int) -> bool:
+        seen = 0
+        while pid > 1 and seen < 64:
+            if pid == me:
+                return True
+            st = _stat(str(pid))
+            if st is None:
+                return False
+            pid = st[1]
+            seen += 1
+        return False
+
+    n = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            st = _stat(pid)
+            if st is None:
+                continue
+            comm = st[0]
+            hit = "java" in comm
+            if not hit and "python" in comm:
+                # pytest runs under a python comm; check the cmdline
+                try:
+                    with open(f"/proc/{pid}/cmdline", "rb") as f:
+                        hit = b"pytest" in f.read()
+                except OSError:
+                    pass
+            if hit and not _is_mine(int(pid)):
+                n += 1
+    except OSError:
+        return -1
+    return n
+
+
 def _quiet_gate(max_wait_sec: int = 120) -> None:
     """Best-effort wait for a low-steal window (this host shows
     minute-scale hypervisor contention episodes that inflate any single
@@ -166,15 +218,18 @@ def main():
 
     _quiet_gate()
     steal = [_steal_sample()]
+    procs = [_competing_procs()]
     queries = {}
     for name in HEADLINE:
         queries[name] = round(time_query(spark, catalog.QUERIES[name], sf_dir), 3)
     total = sum(queries.values())
     steal.append(_steal_sample())
+    procs.append(_competing_procs())
 
     _quiet_gate()
     cdc = cdc_bench(spark, CDC_EVENTS, CDC_EPOCHS)
     steal.append(_steal_sample())
+    procs.append(_competing_procs())
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline query wall time (best-of-2 per query) at sf + CDC upsert throughput",
@@ -187,6 +242,10 @@ def main():
         # steal%, sampled (start of queries, end of queries, end of cdc):
         # readings >~3 mean a contention episode inflated the numbers
         "host_steal_pct": steal,
+        # foreign java/pytest process count at the same three points:
+        # nonzero means LOCAL contention steal% can't see (the r5 40.7s
+        # driver run was this artifact)
+        "n_competing_procs": procs,
     }
     print(json.dumps(out))
     spark.stop()

@@ -165,32 +165,37 @@ def _one_file_stats(path: str, stat_cols: list[str]) -> dict:
     }
 
 
-def _dir_stats(bdir: str, stat_cols: list[str]) -> dict:
-    """Manifest-level file statistics from parquet FOOTERS (no Spark
-    job, no data read): per tracked column, the min/max across the
-    directory's row groups — what Iceberg keeps per data file, used to
-    prune whole files at read planning time."""
+def _agg_stats(per_file: dict) -> dict:
+    """Fold per-file stats into one entry-level {col: {min, max}}."""
     out: dict = {}
-    for name in sorted(os.listdir(bdir)):
-        if not name.endswith(".parquet"):
-            continue
-        for c, st in _one_file_stats(os.path.join(bdir, name), stat_cols).items():
+    for st in per_file.values():
+        for c, v in st.items():
             cur = out.get(c)
             if cur is None:
-                out[c] = dict(st)
+                out[c] = dict(v)
             else:
                 try:
-                    cur["min"] = min(cur["min"], st["min"])
-                    cur["max"] = max(cur["max"], st["max"])
+                    cur["min"] = min(cur["min"], v["min"])
+                    cur["max"] = max(cur["max"], v["max"])
                 except TypeError:  # mixed types across files: no safe bound
                     out[c] = {"min": None, "max": None}
     return out
 
 
+def _dir_stats(bdir: str, stat_cols: list[str]) -> dict:
+    """Manifest-level file statistics from parquet FOOTERS (no Spark
+    job, no data read): per tracked column, the min/max across the
+    directory's row groups — what Iceberg keeps per data file, used to
+    prune whole files at read planning time."""
+    return _agg_stats(_file_stats(bdir, stat_cols))
+
+
 def _file_stats(bdir: str, stat_cols: list[str]) -> dict:
-    """Per-FILE footer stats for one bucket directory — recorded by
-    clustered compaction so range-sliced files inside a resolved bucket
-    can be pruned individually (Iceberg per-data-file manifest stats)."""
+    """Per-FILE footer stats for one bucket directory — recorded by any
+    commit whose bucket dir holds more than one file (and always by
+    clustered compaction's range slicing), so files inside a resolved
+    bucket can be pruned individually (Iceberg per-data-file manifest
+    stats)."""
     out: dict = {}
     for name in sorted(os.listdir(bdir)):
         if name.endswith(".parquet"):
@@ -324,13 +329,22 @@ class LakeTable:
         extra = [c.strip() for c in str((snap.props or {}).get("stat_cols", "")).split(",") if c.strip()]
         return list(dict.fromkeys(self.STAT_COLS + extra))
 
-    #: default codec for state/delta writes. zstd (Iceberg's own
-    #: modern parquet default) measured strictly better than snappy on
-    #: the 16M-event scaling protocol in BOTH commit modes — COW
-    #: 446k -> 491k ev/s at 4 cores with efficiency 0.775 -> 0.84 (the
-    #: state rewrite through one disk is the non-scaling term; zstd
-    #: trades spare CPU for ~2x less write IO), MOR 509.7k -> 542.5k
-    #: best-of (BENCH.md round-5 compression A/B).
+    #: codec for ALL state/delta writes. zstd (Iceberg's own modern
+    #: parquet default) measured better than snappy at both protocols
+    #: that matter: the 16M-event 1->4-core scaling run (COW 446k ->
+    #: 491k ev/s, efficiency 0.775 -> 0.84; MOR best-of 509.7k ->
+    #: 542.5k — state/delta IO through one disk is the non-scaling
+    #: term) AND the 32-core 400k-event COW probe (51.5k -> 56.7k
+    #: best-of interleaved; smaller files read back faster on the next
+    #: epoch's state scan).  The r5 "COW probe regression" attributed
+    #: to zstd was cross-session host contention, not the codec
+    #: (scripts/bench_codec_probe.py; BENCH.md round 6).  A size-aware
+    #: variant (snappy for small delta appends, where the probe showed
+    #: a noise-level snappy edge) was built, measured, and REJECTED:
+    #: deciding on pre-commit table size mispicks the first epoch of a
+    #: large ingest, and the 16M MOR scaling run dropped 0.82-0.86 ->
+    #: 0.77 twice (BENCH.md round 6).  ``props['write_compression']``
+    #: overrides per table.
     DEFAULT_COMPRESSION = "zstd"
 
     def _write_parquet(self, df: DataFrame, snap: Snapshot, out_dir: str) -> None:
@@ -585,15 +599,19 @@ class LakeTable:
                 # COW entries are RESOLVED by contract: new_bucket_data is
                 # the bucket's full final state — one image per key, so
                 # files inside the entry hold disjoint key sets and may be
-                # pruned individually by zone-map reads (read_where)
+                # pruned individually by zone-map reads (read_where).
+                # Per-file stats ride every multi-file commit (the footers
+                # are already being parsed for the entry-level stats);
+                # for a single-file dir they'd duplicate the entry stats.
+                fst = _file_stats(bdir, stat_cols)
                 entry = {
                     "path": bdir,
                     "schema_id": schema_id,
-                    "stats": _dir_stats(bdir, stat_cols),
+                    "stats": _agg_stats(fst),
                     "resolved": True,
                 }
-                if fstat_cols:
-                    entry["fstats"] = _file_stats(bdir, stat_cols)
+                if len(fst) > 1:
+                    entry["fstats"] = fst
                 buckets[str(b)] = [entry]
             # empty bucket (all rows deleted) -> no files, bucket absent
         applied = dict(snap.applied)
@@ -836,9 +854,16 @@ class LakeTable:
             for b in touched_buckets:
                 bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
                 if os.path.isdir(bdir):
-                    buckets.setdefault(str(b), []).append(
-                        {"path": bdir, "schema_id": schema_id, "stats": _dir_stats(bdir, self._stat_cols(snap))}
-                    )
+                    # delta entries are NOT resolved (final-state reads
+                    # must take the whole bucket — stale-image trap), but
+                    # RAW reads (read_images_where / read_since_lsn
+                    # planning) prune per file, so multi-file delta dirs
+                    # record per-file stats too
+                    fst = _file_stats(bdir, self._stat_cols(snap))
+                    e = {"path": bdir, "schema_id": schema_id, "stats": _agg_stats(fst)}
+                    if len(fst) > 1:
+                        e["fstats"] = fst
+                    buckets.setdefault(str(b), []).append(e)
             applied = dict(snap.applied)
             applied[str(epoch)] = {"snapshot": version, "ts": time.time(), **(lineage or {})}
             try:

@@ -588,3 +588,58 @@ def test_append_delta_accepts_zero_arg_lineage_callable(spark, tmp_path):
         lineage=lambda out_dir: {"saw_dir": out_dir is not None},
     )
     assert snap2.applied["2"]["saw_dir"] is True
+
+
+def test_state_codec_default_and_override(spark, tmp_path):
+    """Codec policy: zstd for ALL state and delta writes (measured best
+    at both the scaling and probe protocols — BENCH.md round 6; a
+    size-aware snappy-for-small-deltas variant was measured to cost
+    16M-event MOR scaling 0.82->0.77 and rejected);
+    props['write_compression'] forces another codec everywhere."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from fec_cn_support_etl_spark.cdc.table import BUCKET_COL, bucket_expr
+
+    def codecs(table_dir, pattern):
+        out = set()
+        for p in glob.glob(os.path.join(table_dir, "data", pattern, "**", "*.parquet"), recursive=True):
+            md = pq.ParquetFile(p).metadata
+            out.add(md.row_group(0).column(0).compression.lower())
+        return out
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+
+    def mk(root, props=None):
+        t = LakeTable.create(
+            spark, root, schema, key_cols=["id"], n_buckets=2,
+            order_cols=["lsn"], props=props,
+        )
+        base = (
+            spark.createDataFrame([(1, "a", 1), (2, "b", 1)], schema)
+            .withColumn(BUCKET_COL, bucket_expr(["id"], 2))
+        )
+        t.commit_merge(base, [0, 1], epoch="0")
+        delta = (
+            spark.createDataFrame([(1, "a2", 2)], schema)
+            .withColumn(BUCKET_COL, bucket_expr(["id"], 2))
+        )
+        t.commit_append_delta(delta, None, epoch="1")
+        return t
+
+    d1 = str(tmp_path / "default")
+    mk(d1)
+    assert codecs(d1, "v1-*") == {"zstd"}
+    assert codecs(d1, "*-delta") == {"zstd"}
+    d2 = str(tmp_path / "forced")
+    mk(d2, props={"write_compression": "snappy"})
+    assert codecs(d2, "v1-*") == {"snappy"}
+    assert codecs(d2, "*-delta") == {"snappy"}

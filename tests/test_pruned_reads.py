@@ -320,3 +320,74 @@ def test_read_where_all_pruned_drops_tombstone_col(spark, tmp_path):
     assert empty.count() == 0 and empty.columns == live_cols
     # and include_deleted=True keeps it on both paths
     assert DELETED_COL in t.read_where({"ts": (99_999, None)}, snap, include_deleted=True).columns
+
+
+def test_uncompacted_cow_commit_records_fstats_and_file_prunes(spark, tmp_path):
+    """The round-5 gap: only clustered compaction recorded per-file
+    stats, so a fresh COW table could never file-prune.  Ordinary
+    commit_merge now records fstats whenever a bucket dir holds more
+    than one file — a narrow read on a ts-partitioned write must skip
+    files driver-side with NO compact() call, and stay exactly
+    read().filter()."""
+    n_buckets = 2
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "lake"),
+        SCHEMA,
+        key_cols=["id"],
+        n_buckets=n_buckets,
+        order_cols=["lsn"],
+        props={"stat_cols": "ts"},
+    )
+    df = (
+        spark.range(400)
+        .select(
+            F.col("id"),
+            (F.col("id") * 10).alias("ts"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            F.col("id").alias("lsn"),
+        )
+        .withColumn(BUCKET_COL, bucket_expr(["id"], n_buckets))
+        # multiple tasks, each ts-local, each writing into BOTH bucket
+        # dirs -> every bucket dir holds several ts-disjoint files
+        .repartitionByRange(4, F.col("ts"))
+    )
+    t.commit_merge(df, list(range(n_buckets)), epoch="0")
+    snap = t.current_snapshot()
+    # ordinary commit recorded per-file stats on the multi-file dirs
+    entries = [f for fs in snap.buckets.values() for f in fs]
+    assert all(len(f.get("fstats") or {}) > 1 for f in entries)
+    bounds = {"ts": (0, 990)}  # first quarter of the ts range
+    clean, dirty, pruned_files, _ = t._plan_pruned_scan(bounds, snap)
+    assert not dirty and pruned_files > 0, "fresh COW table must file-prune"
+    want = _rows(t.read(snap).filter(F.col("ts").between(0, 990)))
+    got = _rows(t.read_where(bounds, snap))
+    assert got == want and len(got) == 100
+
+
+def test_mor_delta_commit_records_fstats_for_raw_reads(spark, tmp_path):
+    """Multi-file delta dirs record per-file stats too: raw incremental
+    reads (read_images_where) prune inside a delta dir, while
+    final-state reads still treat the mixed bucket as dirty."""
+    t, snap0 = _mk_clustered(spark, str(tmp_path / "lake"))
+    delta = (
+        spark.range(10_000, 10_200)
+        .select(
+            (F.col("id") % 400).alias("id"),
+            (F.col("id") * 10).alias("ts"),
+            F.concat(F.lit("d"), F.col("id")).alias("v"),
+            F.col("id").alias("lsn"),
+        )
+        .withColumn(BUCKET_COL, bucket_expr(["id"], snap0.n_buckets))
+        .repartitionByRange(4, F.col("ts"))
+    )
+    touched = sorted({r[0] for r in delta.select(BUCKET_COL).distinct().collect()})
+    snap = t.commit_append_delta(delta, touched, epoch="1")
+    delta_entries = [
+        f for fs in snap.buckets.values() for f in fs if "-delta" in f["path"]
+    ]
+    assert delta_entries and any(len(f.get("fstats") or {}) > 1 for f in delta_entries)
+    # raw read over an lsn window equals the brute filter
+    got = _rows(t.read_images_where({"lsn": (10_100, None)}, snap))
+    want = _rows(t.read_images_where({"lsn": (None, None)}, snap).filter(F.col("lsn") >= 10_100))
+    assert got == want and len(got) == 100
