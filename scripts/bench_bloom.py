@@ -40,7 +40,7 @@ def shuffle_records(df) -> dict[str, int]:
             val = None
             while it.hasNext():
                 kv = it.next()
-                if kv._1() in ("numOutputRows", "shuffleRecordsWritten"):
+                if kv._1() == "shuffleRecordsWritten":
                     val = kv._2().value()
             label = node.child().toString().splitlines()[0][:60]
             out[label] = out.get(label, 0) + int(val or 0)
@@ -50,7 +50,21 @@ def shuffle_records(df) -> dict[str, int]:
     return out
 
 
-def run(spark, sf_dir: str, bloom: bool, trials: int) -> dict:
+#: the three regimes: session defaults (dim broadcasts at this scale —
+#: no fact-side shuffle at all), the past-broadcast regime WITHOUT the
+#: runtime filter (what a naive shuffle join pays), and the same regime
+#: WITH the bloom injected (what this demo buys back).
+ARMS = {
+    "default_broadcast": {},
+    "shuffle_no_bloom": {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
+    },
+    "shuffle_bloom": None,  # BLOOM_DEMO_CONFS
+}
+
+
+def run(spark, sf_dir: str, arm: str, trials: int) -> dict:
     from fec_cn_support_etl_spark.plans.bloom_demo import (
         BLOOM_DEMO_CONFS,
         has_runtime_bloom,
@@ -58,7 +72,7 @@ def run(spark, sf_dir: str, bloom: bool, trials: int) -> dict:
         scoped_confs,
     )
 
-    confs = dict(BLOOM_DEMO_CONFS) if bloom else {}
+    confs = dict(BLOOM_DEMO_CONFS) if ARMS[arm] is None else dict(ARMS[arm])
     confs["spark.sql.adaptive.enabled"] = "false"  # walkable plan tree
     best, recs, injected = float("inf"), None, None
     with scoped_confs(spark, confs):
@@ -66,8 +80,9 @@ def run(spark, sf_dir: str, bloom: bool, trials: int) -> dict:
             wait_for_quiet_host(max_wait_sec=60)
             df = promo_brand_revenue(spark, sf_dir)
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
+            rows = df.collect()  # same Dataset/QueryExecution -> live SQLMetrics
             best = min(best, time.time() - t0)
+            assert len(rows) > 0
             if recs is None:
                 recs = shuffle_records(df)
                 injected = has_runtime_bloom(df)
@@ -84,13 +99,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="bloom-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
-    # warm codegen
-    run(spark, "/root/testdata/sf0.001", bloom=False, trials=1)
-    out = {
-        "sf_dir": sf_dir,
-        "default": run(spark, sf_dir, bloom=False, trials=trials),
-        "bloom": run(spark, sf_dir, bloom=True, trials=trials),
-    }
+    for arm in ARMS:  # warm codegen per plan shape
+        run(spark, "/root/testdata/sf0.001", arm, trials=1)
+    out = {"sf_dir": sf_dir}
+    for arm in ARMS:
+        out[arm] = run(spark, sf_dir, arm, trials=trials)
     print(json.dumps(out))
     spark.stop()
 
