@@ -191,6 +191,20 @@ def cdc_bench(spark, events: int, epochs: int) -> dict:
         )
         q.awaitTermination()
         stream_wall = _time.time() - t0
+        # DRAIN mode (round 6): maxFilesPerTrigger raised so availableNow
+        # regroups the whole backlog into one micro-batch — one commit
+        # instead of one per 8 files. Same final digest (test-pinned);
+        # this is the catch-up/backfill throughput number, the 8-file
+        # row above is the low-latency tail number.
+        drain_table = open_or_create(spark, os.path.join(work, "lake-drain"), 64)
+        t0 = _time.time()
+        q = stream_cdc_ingest(
+            spark, wal, drain_table,
+            checkpoint_dir=os.path.join(work, "ckpt-drain"),
+            available_now=True, mode="mor", max_files_per_trigger=100_000,
+        )
+        q.awaitTermination()
+        drain_wall = _time.time() - t0
         return {
             "events": summary["events"],
             "wall_sec": round(summary["wall_sec"], 2),
@@ -199,6 +213,8 @@ def cdc_bench(spark, events: int, epochs: int) -> dict:
             "mor_events_per_sec": round(mor["events_per_sec"], 1),
             "stream_mor_wall_sec": round(stream_wall, 2),
             "stream_mor_events_per_sec": round(summary["events"] / stream_wall, 1),
+            "stream_mor_drain_wall_sec": round(drain_wall, 2),
+            "stream_mor_drain_events_per_sec": round(summary["events"] / drain_wall, 1),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

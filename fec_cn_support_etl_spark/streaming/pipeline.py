@@ -37,6 +37,7 @@ def stream_cdc_ingest(
     mode: str = "cow",
     compact_every: int | None = None,
     view=None,
+    max_files_per_trigger: int = 8,
 ):
     """Tail the WAL dir as a stream; upsert each micro-batch. Returns
     the StreamingQuery (caller awaits termination).
@@ -45,6 +46,17 @@ def stream_cdc_ingest(
     relative to table state, so O(batch) delta appends (vs O(touched
     state) rewrites) keep per-trigger latency flat as the table grows;
     ``compact_every=N`` folds deltas every N micro-batches.
+
+    ``max_files_per_trigger`` is the latency/throughput knob: each
+    trigger pays a fixed cost (offset commit, checkpoint write, plan
+    setup) plus one table commit, so catch-up/backfill throughput
+    scales with batch size until the commit dominates (measured at the
+    probe protocol in BENCH.md round 6 — 8 files/trigger is the
+    low-latency tail default; a draining consumer wants 64+).  LWW
+    semantics are batch-size-invariant: the engine dedups by (key,
+    lsn) inside each micro-batch exactly as the batch replayer dedups
+    a whole epoch, so regrouping WAL files across triggers cannot
+    change the final state (digest equality is test-pinned).
 
     ``view``: an ``cdc.view.IncrementalAggView`` over ``table`` —
     refreshed after each applied micro-batch, so the derived aggregate
@@ -80,7 +92,7 @@ def stream_cdc_ingest(
 
     reader = (
         spark.readStream.schema(batch_schema)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
         .parquet(wal_dir)
     )
     writer = reader.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint_dir)

@@ -142,7 +142,22 @@ def test_stream_mor_ingest_matches_batch(spark, wal, tmp_path):
         spark, wal, table, str(tmp_path / "ckpt-mor"), mode="mor", compact_every=2
     )
     q.awaitTermination()
-    assert state_digest(table_state(spark, stream_dir)) == state_digest(table_state(spark, batch_dir))
+    want = state_digest(table_state(spark, batch_dir))
+    assert state_digest(table_state(spark, stream_dir)) == want
+    # trigger-size invariance: drain mode (one giant micro-batch that
+    # regroups WAL files ACROSS epochs) converges to the same digest —
+    # the engine's (key, lsn) LWW dedup is batch-boundary-free
+    drain_dir = str(tmp_path / "stream-drain")
+    t2 = LakeTable.create(
+        spark, drain_dir, runner.TABLE_SCHEMA, key_cols=["repo", "path"], n_buckets=8,
+        order_cols=["lsn", "commit"],
+    )
+    q2 = stream_cdc_ingest(
+        spark, wal, t2, str(tmp_path / "ckpt-drain"), mode="mor",
+        max_files_per_trigger=10_000,
+    )
+    q2.awaitTermination()
+    assert state_digest(table_state(spark, drain_dir)) == want
 
 
 def test_stream_stream_join_across_microbatches(spark, tmp_path):
