@@ -38,6 +38,8 @@ _PRIORITY = [
     # new in round 6:
     "quantile_sketch_rollup",
     "bloom_pruned_join",
+    "scd2_dimension_history",
+    "bm25_doc_ranking",
     # unswept by the driver in r5 (backfill):
     "q5_local_supplier_volume",
     "q12_shipmode_priority",

@@ -612,6 +612,69 @@ def cdc_lww_final_state(spark, sf_dir):
 
 
 @_q(
+    "scd2_dimension_history",
+    """
+    WITH changes AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        FROM events
+      )
+      WHERE event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version_n,
+           event_type,
+           event_id AS valid_from_lsn,
+           COALESCE(lead(event_id) OVER w, 9223372036854775807) AS valid_to_lsn,
+           (lead(event_id) OVER w IS NULL) AS is_current,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def scd2_dimension_history(spark, sf_dir):
+    """Slowly-changing-dimension Type 2 built from a CDC change log in
+    one pass: events is the ordered change stream (user_id = business
+    key, event_id = LSN, event_type = tracked attribute). No-op changes
+    (same attribute value as the previous version) are collapsed with an
+    IS DISTINCT FROM lag() filter, then each surviving change becomes a
+    versioned history row with an LSN validity interval
+    [valid_from_lsn, valid_to_lsn) and an is_current flag on the open
+    one. Both windows share the same (partition, order) spec, so
+    Catalyst plans ONE hash exchange on user_id for the whole build —
+    collapse, renumber, and close-out ride the same shuffle. At 100 TB
+    the change log is already bucketed by key in the lake
+    (cdc/table.py), so even that exchange disappears into the scan.
+    The open version's valid_to_lsn is the standard SCD2 high
+    watermark (BIGINT max) rather than NULL — the catalog's no-nullable-
+    output parity discipline (a nullable BIGINT would round-trip as
+    float NaN through both engines' pandas bridges).
+    Incremental twin: cdc/scd2.py maintains the same history epoch by
+    epoch without rescanning closed versions.
+    Reference analog: the per-key dedup/versioning pass of
+    scripts/merge_support.py (latest-image semantics, here widened to
+    full history)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    changed = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(~F.col("event_type").eqNullSafe(F.col("prev_type")))
+        .drop("prev_type")
+    )
+    return changed.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version_n"),
+        "event_type",
+        F.col("event_id").alias("valid_from_lsn"),
+        F.coalesce(F.lead("event_id").over(w), F.lit(9223372036854775807)).alias("valid_to_lsn"),
+        F.lead("event_id").over(w).isNull().alias("is_current"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("effective_from"),
+    )
+
+
+@_q(
     "q6_forecast_revenue",
     """
     SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
@@ -2943,6 +3006,98 @@ def word_freq_model_score(spark, sf_dir):
         F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
         F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("sum_freq"),
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("min_freq"),
+    )
+
+
+_BM25_TERMS = ["join", "scan", "stream"]
+
+
+@_q(
+    "bm25_doc_ranking",
+    rf"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    dstat AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS dl,
+             CAST(SUM(CASE WHEN word = '{_BM25_TERMS[0]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+             CAST(SUM(CASE WHEN word = '{_BM25_TERMS[1]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+             CAST(SUM(CASE WHEN word = '{_BM25_TERMS[2]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf3
+      FROM tok GROUP BY doc_id),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+             CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+      FROM dstat)
+    SELECT d.doc_id, d.dl, d.tf1, d.tf2, d.tf3,
+           ((CAST(g.n_docs - g.df1 AS DOUBLE) + 0.5) / (CAST(g.df1 AS DOUBLE) + 0.5))
+             * ((CAST(d.tf1 AS DOUBLE) * 2.2) / (CAST(d.tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(g.sum_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE))))))
+           + ((CAST(g.n_docs - g.df2 AS DOUBLE) + 0.5) / (CAST(g.df2 AS DOUBLE) + 0.5))
+             * ((CAST(d.tf2 AS DOUBLE) * 2.2) / (CAST(d.tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(g.sum_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE))))))
+           + ((CAST(g.n_docs - g.df3 AS DOUBLE) + 0.5) / (CAST(g.df3 AS DOUBLE) + 0.5))
+             * ((CAST(d.tf3 AS DOUBLE) * 2.2) / (CAST(d.tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(g.sum_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE))))))
+           AS score
+    FROM dstat d, g
+    ORDER BY score DESC, d.doc_id
+    LIMIT 100
+    """,
+)
+def bm25_doc_ranking(spark, sf_dir):
+    """BM25 relevance ranking of the corpus against a fixed 3-term query
+    (k1=1.2, b=0.75) — the retrieval scorer a training-data pipeline
+    uses for quality-weighted sampling and eval-set mining.
+
+    Engine-exact parity without the usual BM25 ln(): the classic idf is
+    ln((N-df+0.5)/(df+0.5)); ln differs in the last ulp across libm
+    implementations, and ln is MONOTONE in its argument, so the catalog
+    scores with the rational idf (N-df+0.5)/(df+0.5) directly — the
+    per-term ranking is identical, and every remaining operation
+    (+,-,*,/ on integer-derived doubles) is exactly-rounded IEEE,
+    written in the same shape in both engines, hence bit-stable (the
+    same discipline as word_freq_model_score's sufficient statistics).
+
+    100-TB shape: per-doc (dl, tf_i) is a partial-combined integer agg
+    off ONE exploded scan; the corpus-level (N, sum_dl, df_i) is a
+    1-row aggregate CROSS-JOIN-broadcast back (q22's average pattern) —
+    no shuffle of the corpus ever happens; top-100 is a
+    TakeOrderedAndProject (map-side pruned), never a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+    tf_aggs = [
+        F.sum(F.when(F.col("word") == t, 1).otherwise(0)).cast("long").alias(f"tf{i}")
+        for i, t in enumerate(_BM25_TERMS, 1)
+    ]
+    dstat = tok.groupBy("doc_id").agg(F.count("*").alias("dl"), *tf_aggs)
+    g = dstat.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("long").alias(f"df{i}")
+            for i in range(1, 4)
+        ],
+    )
+    j = dstat.crossJoin(F.broadcast(g))
+    # every sub-expression mirrors the oracle SQL's shape exactly:
+    # exactly-rounded IEEE ops over integer-derived doubles, fixed
+    # left-to-right 3-term sum (never a SUM over nondeterministic row
+    # order, which could differ in the last ulp)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    len_norm = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
+
+    def term_score(i: int):
+        idf = ((F.col("n_docs") - F.col(f"df{i}")).cast("double") + F.lit(0.5)) / (
+            F.col(f"df{i}").cast("double") + F.lit(0.5)
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        return idf * ((tf * F.lit(2.2)) / (tf + len_norm))
+
+    score = term_score(1) + term_score(2) + term_score(3)
+    return (
+        j.select("doc_id", "dl", "tf1", "tf2", "tf3", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(100)
     )
 
 

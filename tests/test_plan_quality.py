@@ -374,3 +374,33 @@ def test_runtime_bloom_filter_lands_on_fact_side(spark):
     assert rows_plain == rows_bloom
     # and the session is restored: a fresh plan has no bloom again
     assert not has_runtime_bloom(promo_brand_revenue(spark, SF))
+
+
+def test_scd2_history_single_exchange(spark):
+    """The whole SCD2 build (collapse no-ops, renumber versions, close
+    out intervals) must ride ONE hash exchange on the business key: both
+    windows share (user_id, event_id) partitioning/ordering, so Catalyst
+    reuses the sort. A second exchange or a rangepartitioning node would
+    mean the collapse and the renumber were planned as separate shuffles
+    — the thing that doubles wire volume on a 100-TB change log."""
+    p = plan(spark, "scd2_dimension_history")
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, p
+    assert "rangepartitioning" not in p.lower()
+    import re
+
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1, "windows must share one sort"
+    assert "hashpartitioning(user_id" in p
+
+
+def test_bm25_corpus_stats_broadcast_topk_pruned(spark):
+    """The corpus-level (N, sum_dl, df_i) aggregate is ONE row and must
+    come back as a broadcast nested-loop join (q22's average pattern),
+    never a shuffle of the per-doc stats; the top-100 must be a
+    TakeOrderedAndProject (map-side pruned), never a rangepartitioning
+    global sort — at 100 TB a global sort for a LIMIT 100 is the
+    classic planner failure."""
+    p = plan(spark, "bm25_doc_ranking")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "rangepartitioning" not in p.lower()
