@@ -48,7 +48,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -222,6 +222,60 @@ def _overlaps(stats: dict | None, bounds: dict) -> bool:
         except TypeError:
             continue
     return True
+
+
+def _sortable_proxy(df: DataFrame, col: str) -> Column:
+    """Order-preserving DOUBLE proxy for a cluster column — the common
+    currency the Z-order builder quantile-buckets.  Numeric/temporal
+    types cast directly; strings map their first 6 bytes big-endian to
+    an integer (48 bits — exact in a double), so lexicographic string
+    order becomes numeric proxy order.  Ties beyond the prefix collapse
+    into one Z-cell, which only costs clustering quality: pruning always
+    re-checks REAL parquet footer stats, never the proxy."""
+    dt = df.schema[col].dataType
+    c = F.col(col)
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return c.cast("timestamp").cast("double")
+    if isinstance(dt, T.StringType):
+        return F.expr(
+            f"cast(conv(rpad(hex(substring(cast(`{col}` as binary), 1, 6)), 12, '0'), 16, 10) as bigint)"
+        ).cast("double")
+    if isinstance(dt, (T.NumericType, T.BooleanType)):
+        return c.cast("double")
+    raise TypeError(f"cluster_by column {col!r}: un-clusterable type {dt.simpleString()}")
+
+
+def _zorder_column(df: DataFrame, cols: list[str], bits: int) -> Column:
+    """Morton/Z-value over ``cols`` (Delta's OPTIMIZE ZORDER BY, Iceberg's
+    multi-dim sort order): per column, rank the value into one of
+    ``2**bits`` quantile cells, then interleave the cell indices'
+    bits.  Range-partitioning the write on this value makes every output
+    file a contiguous run of the space-filling curve, so each file's
+    footer min/max is narrow on EVERY cluster column at once — the layout
+    that lets zone-map pruning serve predicates on any of the dimensions
+    of a 100-TB table, not just the first sort key.
+
+    Cell boundaries come from ONE ``percentile_approx`` aggregate over the
+    frame (quantile cells stay balanced under skew, unlike fixed-width
+    buckets), and the rank + interleave are pure JVM bit arithmetic —
+    no Python touches a row."""
+    n_cells = 1 << bits
+    proxies = {c: _sortable_proxy(df, c) for c in cols}
+    qs = [i / n_cells for i in range(1, n_cells)]
+    row = df.agg(
+        *[F.percentile_approx(p, F.array(*[F.lit(q) for q in qs]), F.lit(10_000)).alias(c) for c, p in proxies.items()]
+    ).first()
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for ci, c in enumerate(cols):
+        cuts = sorted({b for b in (row[c] or []) if b is not None})
+        idx = F.lit(0)
+        for b in cuts:
+            idx = idx + (proxies[c] > F.lit(b)).cast("int")
+        idx = F.coalesce(idx, F.lit(0)).cast("long")  # NULLs land in cell 0
+        for i in range(bits):
+            z = z + F.shiftleft(F.shiftright(idx, i).bitwiseAND(F.lit(1)), i * k + ci)
+    return z
 
 
 def resolve_lww(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
@@ -899,7 +953,7 @@ class LakeTable:
         self,
         max_files: int = 1,
         buckets: list[int] | None = None,
-        cluster_by: str | None = None,
+        cluster_by: str | list[str] | None = None,
         slices: int | None = None,
     ) -> Snapshot | None:
         """Fold delta files back into one base file per bucket: rewrite
@@ -919,9 +973,26 @@ class LakeTable:
         the layout that makes time-range reads on a 100-TB hash-bucketed
         CDC table touch only the matching time slices.  Use
         ``compact(max_files=0, cluster_by=...)`` for a full re-layout
-        (every non-empty bucket qualifies)."""
+        (every non-empty bucket qualifies).
+
+        MULTIPLE cluster columns (a list, or comma-separated in
+        ``props['cluster_col']``) switch the layout to Z-ORDER (Delta's
+        ``OPTIMIZE ... ZORDER BY``): the range exchange runs on an
+        interleaved-bit Morton value (:func:`_zorder_column`), so every
+        file is narrow on EVERY cluster column and ``read_where`` prunes
+        on any of them — a single-column sort would leave the second
+        dimension un-prunable.  ``props['zorder_bits']`` (default 6)
+        sets the per-dimension cell resolution (``2**bits`` quantile
+        cells).  Costs one extra pass over the resolved state (the
+        boundary aggregate) — a maintenance-time price, like
+        ``repartitionByRange``'s own sampling job."""
         snap = self.current_snapshot()
         cluster_by = cluster_by or (snap.props or {}).get("cluster_col") or None
+        cluster_cols = (
+            [c.strip() for c in cluster_by.split(",") if c.strip()]
+            if isinstance(cluster_by, str)
+            else list(cluster_by or [])
+        )
         cand = [
             int(b)
             for b, files in snap.buckets.items()
@@ -933,12 +1004,19 @@ class LakeTable:
             self.read(snap, buckets=cand, include_deleted=True)
             .withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
         )
-        if cluster_by:
+        if len(cluster_cols) == 1:
             n_slices = int(slices or (snap.props or {}).get("cluster_slices", 8))
             # range exchange on the cluster column: every write task owns
             # one value slice, so the file it emits into each bucket dir
             # is range-disjoint from its siblings (NULLs sort first)
-            resolved = resolved.repartitionByRange(n_slices, F.col(cluster_by))
+            resolved = resolved.repartitionByRange(n_slices, F.col(cluster_cols[0]))
+        elif cluster_cols:
+            n_slices = int(slices or (snap.props or {}).get("cluster_slices", 8))
+            bits = int((snap.props or {}).get("zorder_bits", 6))
+            # Z-order: range exchange on the Morton value — each write task
+            # owns a contiguous curve segment, narrow on ALL cluster columns
+            zv = _zorder_column(resolved, cluster_cols, bits)
+            resolved = resolved.withColumn("_zval", zv).repartitionByRange(n_slices, F.col("_zval")).drop("_zval")
         else:
             n_write = max(1, min(len(cand), self.spark.sparkContext.defaultParallelism * 2))
             resolved = resolved.repartition(n_write, F.col(BUCKET_COL))
@@ -947,7 +1025,7 @@ class LakeTable:
             cand,
             epoch=f"compact-{snap.version}",
             base_snap=snap,
-            fstat_cols=[cluster_by] if cluster_by else None,
+            fstat_cols=cluster_cols or None,
         )
 
     def read_since_lsn(self, min_lsn: int, snap: Snapshot | None = None) -> DataFrame:

@@ -391,3 +391,89 @@ def test_mor_delta_commit_records_fstats_for_raw_reads(spark, tmp_path):
     got = _rows(t.read_images_where({"lsn": (10_100, None)}, snap))
     want = _rows(t.read_images_where({"lsn": (None, None)}, snap).filter(F.col("lsn") >= 10_100))
     assert got == want and len(got) == 100
+
+
+def _pruned_on(t, snap, bounds):
+    _, dirty, pruned_files, _ = t._plan_pruned_scan(bounds, snap)
+    assert not dirty
+    return pruned_files
+
+
+def test_zorder_compact_prunes_on_both_dimensions(spark, tmp_path):
+    """Multi-column cluster_by Z-orders the rewrite: every file is narrow
+    on EVERY cluster column, so read_where prunes on either dimension —
+    where a single-column sort leaves the second dimension essentially
+    un-prunable.  Results must still equal read().filter() exactly."""
+    # single-column twin: clustered on ts only (ts and lsn decorrelated)
+    t1, s1 = _mk_clustered(spark, str(tmp_path / "single"))
+    # z-order twin: same data, clustered on (ts, lsn)
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "zorder"),
+        SCHEMA,
+        key_cols=["id"],
+        n_buckets=4,
+        order_cols=["lsn"],
+        props={"stat_cols": "ts,lsn"},
+    )
+    df = (
+        spark.range(400)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 37) % 4000).alias("ts"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            F.col("id").alias("lsn"),
+        )
+        .withColumn(BUCKET_COL, bucket_expr(["id"], 4))
+    )
+    t2.commit_merge(df, list(range(4)), epoch="0")
+    s2 = t2.compact(max_files=0, cluster_by=["ts", "lsn"], slices=8)
+    assert s2 is not None
+
+    ts_b = {"ts": (1000, 1999)}
+    lsn_b = {"lsn": (0, 99)}
+    # z-order prunes on BOTH dimensions...
+    assert _pruned_on(t2, s2, ts_b) > 0
+    z_lsn = _pruned_on(t2, s2, lsn_b)
+    assert z_lsn > 0
+    # ...and strictly beats the single-column layout on the second one
+    assert z_lsn > _pruned_on(t1, s1, lsn_b)
+    # exactness on both dimensions (the pruning is only an optimization)
+    for bounds, col, lo, hi in [(ts_b, "ts", 1000, 1999), (lsn_b, "lsn", 0, 99)]:
+        want = _rows(t2.read(s2).filter(F.col(col).between(lo, hi)))
+        got = _rows(t2.read_where(bounds, s2))
+        assert got == want and len(got) > 0
+
+
+def test_zorder_string_dimension_prunes(spark, tmp_path):
+    """The string proxy (6-byte big-endian prefix) keeps lexicographic
+    order, so a Z-order over (ts, v:string) makes string-range reads
+    file-prunable; parquet footer string stats drive the pruning."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "lake"),
+        SCHEMA,
+        key_cols=["id"],
+        n_buckets=2,
+        order_cols=["lsn"],
+        props={"stat_cols": "ts,v"},
+    )
+    df = (
+        spark.range(400)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 37) % 4000).alias("ts"),
+            # zero-padded so lexicographic == numeric order of the suffix
+            F.concat(F.lit("v"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("v"),
+            F.col("id").alias("lsn"),
+        )
+        .withColumn(BUCKET_COL, bucket_expr(["id"], 2))
+    )
+    t.commit_merge(df, list(range(2)), epoch="0")
+    snap = t.compact(max_files=0, cluster_by="ts,v", slices=8)
+    assert snap is not None
+    bounds = {"v": ("v0100", "v0199")}
+    assert _pruned_on(t, snap, bounds) > 0
+    want = _rows(t.read(snap).filter(F.col("v").between("v0100", "v0199")))
+    got = _rows(t.read_where(bounds, snap))
+    assert got == want and len(got) == 100
