@@ -40,6 +40,8 @@ _PRIORITY = [
     "bloom_pruned_join",
     "scd2_dimension_history",
     "bm25_doc_ranking",
+    "heavy_hitters_guaranteed",
+    "embedding_kmeans_assign",
     # unswept by the driver in r5 (backfill):
     "q5_local_supplier_volume",
     "q12_shipmode_priority",

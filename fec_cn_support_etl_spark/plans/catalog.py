@@ -44,6 +44,8 @@ from ..operators.dedup import (
     simhash_from_hashes,
 )
 from ..operators import caching
+from ..operators.clustering import kmeans_assign
+from ..operators.heavyhitters import heavy_hitters, hh_merge, hh_summary
 from ..operators.joins import asof_join, binned_range_join, semi_filter
 from ..operators.sampling import mix_sources, stratified_sample
 from ..operators.similarity import brute_force_topk, int_centroids, int_planes, ivf_topk, lsh_bucketed_topk
@@ -3326,3 +3328,104 @@ def neardup_soft_dedup(spark, sf_dir):
         F.count("*").alias("weight"),
         F.sum("tok").alias("total_tokens"),
     )
+
+
+@_q(
+    "heavy_hitters_guaranteed",
+    r"""
+    WITH w AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+    b AS (SELECT source,
+                 unnest(list_transform(list_zip(ws[1:-2], ws[2:-1]),
+                                       p -> p[1] || ' ' || p[2])) AS item
+          FROM w),
+    c AS (SELECT source, item, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    t AS (SELECT source, GREATEST(3, CAST(FLOOR(0.002 * SUM(cnt)) AS BIGINT)) AS thr
+          FROM c GROUP BY source)
+    SELECT c.source, c.item, CAST(c.cnt AS BIGINT) AS cnt, TRUE AS sketch_ok
+    FROM c JOIN t USING (source) WHERE c.cnt >= t.thr
+    """,
+)
+def heavy_hitters_guaranteed(spark, sf_dir):
+    """Heavy hitters the mergeable-sketch way (the frequency member of
+    the sketch trio next to approx_distinct_hll and
+    quantile_sketch_rollup): the corpus splits into two ingest batches
+    (doc_id parity), each batch builds a BOUNDED summary — per (source,
+    item-hash shard) the exact top-``keep`` bigram counts plus one tail
+    bound for everything dropped — and the merged summaries decode
+    every bigram reaching a per-source frequency threshold
+    (max(3, 0.2% of the source's bigram mass)), with proven two-sided
+    bounds (operators/heavyhitters.py).  The emitted rows are the EXACT
+    heavy hitters (engine-stable integers, the oracle recomputes them
+    in SQL); ``sketch_ok`` asserts the sketch path found each one with
+    ``cnt_lb <= cnt <= cnt_lb + err_ub`` — the same
+    membership-with-proven-gap pattern as the HLL and quantile queries,
+    with the guarantee DERIVED (module docstring), not just observed.
+    100-TB note: summary state is <= n_shards*(keep+1) rows per
+    (source, epoch) no matter the item cardinality; per-epoch summaries
+    persist and MERGE, so a rolling vocabulary report never rescans
+    history; the exact count here exists only to prove the bounds at
+    test scale."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    grams = d.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("item"),
+    )
+    parts = [
+        hh_summary(grams.filter(F.col("doc_id") % 2 == b), ["source"], "item", n_shards=8, keep=64)
+        for b in (0, 1)
+    ]
+    kept, tail = hh_merge(parts, ["source"])
+    cand = heavy_hitters(kept, tail, ["source"], threshold=3)
+    exact = grams.groupBy("source", "item").agg(F.count(F.lit(1)).alias("cnt"))
+    thr = F.greatest(F.lit(3), F.floor(F.lit(0.002) * F.sum("cnt").over(Window.partitionBy("source"))))
+    exact = exact.withColumn("__thr", thr).filter(F.col("cnt") >= F.col("__thr")).drop("__thr")
+    ok = (
+        F.col("cnt_lb").isNotNull()
+        & (F.col("cnt_lb") <= F.col("cnt"))
+        & (F.col("cnt") <= F.col("cnt_lb") + F.col("err_ub"))
+    )
+    return exact.join(cand, ["source", "item"], "left").select(
+        "source", "item", F.col("cnt").cast("long").alias("cnt"), ok.alias("sketch_ok")
+    )
+
+
+@_q(
+    "embedding_kmeans_assign",
+    """
+    WITH c AS (SELECT vec_id AS cluster_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    s AS (SELECT e.vec_id AS id, c.cluster_id,
+                 list_cosine_similarity(e.embedding, c.cv) AS cos
+          FROM embeddings e CROSS JOIN c)
+    SELECT id, cluster_id FROM (
+      SELECT id, cluster_id, row_number() OVER (
+        PARTITION BY id
+        ORDER BY CAST(floor(cos * 1000000) AS BIGINT) DESC, cluster_id ASC) AS rn
+      FROM s) WHERE rn = 1
+    """,
+)
+def embedding_kmeans_assign(spark, sf_dir):
+    """Nearest-centroid assignment (the k-means E-step, and by itself
+    the cluster-then-curate primitive: per-cluster sampling, quality
+    audits, centroid dedup): k=8 deterministic seed centroids (lowest
+    vec_ids), every embedding assigned by 1e-6-quantized cosine with a
+    centroid-id tiebreak — a total order, so membership is
+    engine-portable (same discipline as the ANN family).  The full
+    Lloyd iteration (operators/clustering.py::kmeans_lloyd) is pinned
+    by tests/test_clustering.py on coverage/monotonicity/convergence —
+    its float means are order-of-summation sensitive, so the
+    SQL-oracle-backed query is the deterministic assignment step.
+    100-TB shape: centroids broadcast (k x dim), the corpus never
+    shuffles; the argmax is a map-side-pruned WindowGroupLimit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cv")
+    )
+    return kmeans_assign(emb, cent, "vec_id", "embedding").select("id", "cluster_id")

@@ -1,0 +1,140 @@
+"""Mergeable heavy-hitters summaries: the proven-bounds contract.
+
+The catalog query's oracle asserts a literal TRUE for ``sketch_ok``,
+so the guarantees must hold structurally, not coincidentally.  Pinned
+here on a synthetic skewed stream where truncation REALLY happens:
+
+* soundness: every decoded item's bounds contain its true count;
+* completeness: every item with true count >= T is decoded whenever
+  T exceeds the summed shard tail bound (the derived precondition);
+* exactness for always-kept items (item-sharding makes kept counts
+  exact, unlike classic per-stream Misra-Gries);
+* merge is associative and closed under its own output (day -> month
+  rollups), and the whole pipeline is partitioning-invariant;
+* the summary is genuinely bounded: state never exceeds
+  n_shards * (keep + 1) rows per (group, epoch), and the catalog
+  geometry actually drops items (a sketch that keeps everything
+  proves nothing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fec_cn_support_etl_spark.operators.heavyhitters import (
+    SHARD_COL,
+    heavy_hitters,
+    hh_merge,
+    hh_summary,
+)
+
+N_SHARDS = 4
+KEEP = 8
+
+
+def _stream(spark, epoch, n=4000):
+    """Deterministic zipf-ish item stream: item 'i<j>' appears with
+    frequency falling in j; two groups; epoch shifts the mix."""
+    return (
+        spark.range(n)
+        .select(
+            (F.col("id") % 2).cast("string").alias("grp"),
+            F.concat(
+                F.lit("i"),
+                F.floor(F.sqrt((F.col("id") * 7919 + F.lit(epoch * 13)) % 3600)).cast("string"),
+            ).alias("item"),
+        )
+    )
+
+
+def _true_counts(spark, epochs):
+    df = _stream(spark, epochs[0])
+    for e in epochs[1:]:
+        df = df.unionByName(_stream(spark, e))
+    return {
+        (r["grp"], r["item"]): r["cnt"]
+        for r in df.groupBy("grp", "item").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+
+def test_bounds_sound_and_complete(spark):
+    epochs = [0, 1, 2]
+    parts = [hh_summary(_stream(spark, e), ["grp"], "item", N_SHARDS, KEEP) for e in epochs]
+    kept, tail = hh_merge(parts, ["grp"])
+    true = _true_counts(spark, epochs)
+
+    # the summary is bounded and truncation is real
+    for (k_, t_), _e in zip(parts, epochs):
+        per = {(r["grp"], r[SHARD_COL]): r["n"] for r in k_.groupBy("grp", SHARD_COL).agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert per and max(per.values()) <= KEEP
+        assert t_.count() > 0, "geometry must actually drop items"
+
+    decoded = {
+        (r["grp"], r["item"]): (r["cnt_lb"], r["err_ub"])
+        for r in heavy_hitters(kept, tail, ["grp"], threshold=1).collect()
+    }
+    # soundness: bounds contain the true count
+    for key, (lb, err) in decoded.items():
+        assert lb <= true[key] <= lb + err, (key, lb, err, true[key])
+
+    # completeness precondition: T > max summed shard tail bound
+    max_err = max(r["tail_max"] for r in tail.collect())
+    T = max_err + 1
+    got = {
+        (r["grp"], r["item"])
+        for r in heavy_hitters(kept, tail, ["grp"], threshold=T).collect()
+    }
+    want = {k for k, v in true.items() if v >= T}
+    assert want, "threshold too high for fixture — tune the stream"
+    assert want <= got, f"missed true heavy hitters: {sorted(want - got)[:5]}"
+
+
+def test_always_kept_items_are_exact(spark):
+    epochs = [0, 1]
+    parts = [hh_summary(_stream(spark, e), ["grp"], "item", N_SHARDS, KEEP) for e in epochs]
+    kept, tail = hh_merge(parts, ["grp"])
+    true = _true_counts(spark, epochs)
+    rows = kept.filter(F.col("n_epochs_kept") == len(epochs)).collect()
+    assert rows
+    for r in rows:
+        assert r["cnt"] == true[(r["grp"], r["item"])]
+
+
+def test_merge_is_associative_and_closed(spark):
+    parts = [hh_summary(_stream(spark, e), ["grp"], "item", N_SHARDS, KEEP) for e in (0, 1, 2)]
+
+    def snap(kept, tail):
+        k = sorted(
+            (r["grp"], r[SHARD_COL], r["item"], r["cnt"], r["n_epochs_kept"])
+            for r in kept.collect()
+        )
+        t = sorted((r["grp"], r[SHARD_COL], r["tail_max"], r["tail_mass"]) for r in tail.collect())
+        return k, t
+
+    flat = hh_merge(parts, ["grp"])
+    nested = hh_merge([hh_merge(parts[:2], ["grp"]), parts[2]], ["grp"])
+    assert snap(*flat) == snap(*nested)
+
+
+def test_partitioning_invariance(spark):
+    s = _stream(spark, 0)
+    a = hh_summary(s, ["grp"], "item", N_SHARDS, KEEP)
+    b = hh_summary(s.repartition(17, "item"), ["grp"], "item", N_SHARDS, KEEP)
+
+    def snap(kept, tail):
+        return (
+            sorted((r["grp"], r[SHARD_COL], r["item"], r["cnt"]) for r in kept.collect()),
+            sorted(tuple(r) for r in tail.collect()),
+        )
+
+    assert snap(*a) == snap(*b)
+
+
+def test_catalog_query_sketch_ok_everywhere(spark):
+    import os
+
+    from fec_cn_support_etl_spark.plans import catalog
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    out = catalog.QUERIES["heavy_hitters_guaranteed"](spark, sf).collect()
+    assert out and all(r["sketch_ok"] for r in out)

@@ -404,3 +404,29 @@ def test_bm25_corpus_stats_broadcast_topk_pruned(spark):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" in p
     assert "rangepartitioning" not in p.lower()
+
+
+def test_kmeans_assign_broadcasts_centroids_no_corpus_shuffle(spark):
+    """kmeans_assign must broadcast the centroids (k x dim) and score
+    the corpus in place: no Exchange may sit between the embeddings
+    scan and the join, no Python UDF anywhere, and the argmax must be
+    the map-side-pruned WindowGroupLimit."""
+    p = plan(spark, "embedding_kmeans_assign")
+    assert "PythonUDF" not in p and "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "WindowGroupLimit" in p
+    # corpus side feeds the join directly from the scan: the only
+    # Exchange allowed before the window is the broadcast one
+    pre_window = p.split("Window")[0]
+    assert pre_window.count("Exchange") == pre_window.count("BroadcastExchange")
+
+
+def test_heavy_hitters_all_jvm_partial_combined(spark):
+    """The heavy-hitters pipeline is pure JVM DataFrame algebra: no
+    Python UDF; the shard-local count partial-combines below its
+    exchange (partial_count before Exchange); the per-shard top-keep
+    is a WindowGroupLimit (map-side pruned)."""
+    p = plan(spark, "heavy_hitters_guaranteed")
+    assert "PythonUDF" not in p and "BatchEvalPython" not in p
+    assert "WindowGroupLimit" in p
+    assert "partial_count" in p or "partial, count" in p or "HashAggregate" in p
