@@ -304,3 +304,70 @@ def test_stream_maintains_incremental_view(spark, wal, tmp_path):
     q2 = stream_cdc_ingest(spark, wal, table, str(tmp_path / "ckpt"), mode="mor", view=view)
     q2.awaitTermination()
     assert view.synced_version() == v_synced
+
+
+def test_stream_enrich_sees_live_dimension_versions(spark, tmp_path):
+    """stream_enrich_with_table: each micro-batch must join against the
+    dimension's CURRENT committed state (native stream-static joins
+    bind the file listing at plan time and go stale), stamp the
+    snapshot version it used, and be a no-op on checkpoint restart."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from fec_cn_support_etl_spark.cdc.table import BUCKET_COL, LakeTable, bucket_expr
+    from fec_cn_support_etl_spark.streaming.enrich import read_enriched, stream_enrich_with_table
+
+    dim_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("tier", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    dim = LakeTable.create(
+        spark, str(tmp_path / "dim"), dim_schema, key_cols=["user_id"], n_buckets=2, order_cols=["lsn"]
+    )
+
+    def commit_dim(tier, epoch):
+        df = (
+            spark.range(10)
+            .select(F.col("id").alias("user_id"), F.lit(tier).alias("tier"), F.lit(epoch).alias("lsn"))
+            .withColumn(BUCKET_COL, bucket_expr(["user_id"], 2))
+        )
+        dim.commit_merge(df, [0, 1], epoch=str(epoch))
+
+    commit_dim("bronze", 1)
+    v1 = dim.current_snapshot().version
+
+    stream_dir = str(tmp_path / "facts")
+    def write_facts(lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id").alias("fact_id"), (F.col("id") % 10).alias("user_id")
+        ).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = stream_enrich_with_table(
+            spark, stream_dir, dim, ["user_id"], ["tier"], sink, ckpt
+        )
+        q.awaitTermination()
+
+    write_facts(0, 20)
+    drain()  # phase 1: enriched against v1 ("bronze")
+
+    commit_dim("gold", 2)  # dimension changes UNDER the stream
+    v2 = dim.current_snapshot().version
+    write_facts(20, 40)
+    drain()  # phase 2: checkpoint resume, only new files, sees v2
+
+    out = read_enriched(spark, sink)
+    rows = {r["fact_id"]: (r["tier"], r["_dim_version"]) for r in out.collect()}
+    assert len(rows) == 40
+    assert all(rows[i] == ("bronze", v1) for i in range(20))
+    assert all(rows[i] == ("gold", v2) for i in range(20, 40))
+
+    # restart with nothing new: no duplicate or rewritten outputs
+    drain()
+    assert read_enriched(spark, sink).count() == 40
