@@ -103,6 +103,12 @@ def kmeans_lloyd(
     ``iters`` Lloyd rounds of broadcast-assign + one-aggregation update.
     Returns ``(assignment, centroids)`` — assignment as in
     :func:`kmeans_assign`, centroids (cluster_id, cv: array<double>).
+    The pair is MUTUALLY CONSISTENT: the returned assignment is
+    computed against the returned (final) centroids, so
+    ``assignment.cosine`` is the similarity to the centroid the row is
+    labeled with (a trailing half-step re-assign after the last Lloyd
+    update — without it the assignment would lag the centroids by one
+    update and argmax would not hold w.r.t. the returned centroids).
 
     Each round collects k x dim doubles to the driver (bounded — the
     documented iterative-algorithm lineage break); the corpus itself
@@ -114,10 +120,9 @@ def kmeans_lloyd(
         .select(F.col(id_col).alias("cluster_id"), F.col(vec_col).cast("array<double>").alias("cv"))
     )
     cent_rows = seed.collect()
-    assigned = None
     for _ in range(max(1, iters)):
         cent = spark.createDataFrame(cent_rows, "cluster_id: long, cv: array<double>")
         assigned = kmeans_assign(vectors, cent, id_col, vec_col)
         cent_rows = _mean_centroids(assigned, vectors, id_col, vec_col).collect()
     centroids = spark.createDataFrame(cent_rows, "cluster_id: long, cv: array<double>")
-    return assigned, centroids
+    return kmeans_assign(vectors, centroids, id_col, vec_col), centroids

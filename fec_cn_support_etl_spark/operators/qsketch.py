@@ -58,14 +58,16 @@ class QuantileSketch:
 
     # ------------------------------------------------------------ build
     def add(self, values: np.ndarray) -> "QuantileSketch":
-        """Insert a batch.  Values are sorted first so the result is a
-        pure function of the multiset, not the arrival order."""
+        """Insert a batch.  The concatenated level is fully re-sorted,
+        so the result is a pure function of the multiset, not the
+        arrival order (one sort — pre-sorting the batch would be wasted
+        work since np.sort does not exploit sorted runs)."""
         v = np.asarray(values, dtype=np.float64)
         v = v[~np.isnan(v)]
         if v.size == 0:
             return self
         self.n += int(v.size)
-        self.levels[0] = np.sort(np.concatenate([self.levels[0], np.sort(v)]))
+        self.levels[0] = np.sort(np.concatenate([self.levels[0], v]))
         self._compress()
         return self
 
@@ -159,6 +161,20 @@ class QuantileSketch:
 
 
 # ---------------------------------------------------------------- spark
+def quantile_label(q: float) -> str:
+    """Column label for quantile ``q``: ``0.95 -> 'q95'``, ``0.999 ->
+    'q99_9'``.  Fraction-safe — ``int(q*100)`` would truncate
+    ``0.29*100 == 28.999...`` to ``q28`` and collide 0.99 with 0.999."""
+    return "q" + ("%g" % round(q * 100, 9)).replace(".", "_").replace("-", "m")
+
+
+def _quantile_labels(quantiles: list[float]) -> list[str]:
+    labels = [quantile_label(q) for q in quantiles]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantile labels collide: {labels} for {quantiles}")
+    return labels
+
+
 def build_day_sketches(df, group_cols: list[str], day_col: str, value_col: str, k: int = DEFAULT_K):
     """(group..., day) -> one sketch row: ``sketch`` BINARY + exact
     ``n_rows``.  Arrow-batched; the sort inside ``add`` makes the
@@ -192,10 +208,11 @@ def rollup_sketches(day_df, group_cols: list[str], day_col: str, quantiles: list
     sketch rows (one per group×day), so this stage shuffles KBs."""
     from pyspark.sql import types as T
 
+    labels = _quantile_labels(quantiles)
     schema = T.StructType(
         [day_df.schema[c] for c in group_cols]
         + [T.StructField("n_rows", T.LongType())]
-        + [T.StructField(f"q{int(q * 100)}", T.DoubleType()) for q in quantiles]
+        + [T.StructField(lbl, T.DoubleType()) for lbl in labels]
     )
 
     def _fold(pdf):
@@ -205,8 +222,8 @@ def rollup_sketches(day_df, group_cols: list[str], day_col: str, quantiles: list
         merged = QuantileSketch.merge([QuantileSketch.from_bytes(b) for b in pdf["sketch"]])
         row = {c: [pdf[c].iloc[0]] for c in group_cols}
         row["n_rows"] = [int(pdf["n_rows"].sum())]
-        for q in quantiles:
-            row[f"q{int(q * 100)}"] = [merged.quantile(q)]
+        for q, lbl in zip(quantiles, labels):
+            row[lbl] = [merged.quantile(q)]
         return pd.DataFrame(row)
 
     return day_df.groupBy(*group_cols).applyInPandas(_fold, schema)

@@ -29,6 +29,12 @@ job); above that the join falls back to a shuffle hash/sort-merge
 join, which is the right plan for a fact stream against a huge
 dimension.  The decision re-evaluates every trigger, so a dimension
 that grows past the threshold flips plans without a restart.
+NOTE the units: the threshold is COMPRESSED parquet bytes, but the
+broadcast hash table is built from decompressed rows — zstd-era
+expansion is commonly 3-10x — so the default is deliberately far
+below Spark's executor memory headroom (32 MB on disk ≈ a few hundred
+MB in memory worst-case).  Raise it only with the expansion ratio of
+the actual dimension in hand.
 """
 
 from __future__ import annotations
@@ -54,7 +60,7 @@ def stream_enrich_with_table(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int = 8,
-    broadcast_max_bytes: int = 256 << 20,
+    broadcast_max_bytes: int = 32 << 20,
 ):
     """Tail ``stream_dir`` (parquet file source) and LEFT-join each
     micro-batch against the CURRENT state of ``table`` on ``keys``,

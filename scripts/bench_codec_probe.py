@@ -8,9 +8,11 @@ CPU), but the r5 driver+builder runs both showed the 32-core 400k-event
 COW probe dropping ~17% (50.5k -> ~42k ev/s) — at that scale state is
 tiny, the disk is never the bottleneck, and the compression CPU sits on
 the commit critical path.  This script pins both codecs at the probe
-protocol with interleaved best-of trials on a quiet host, and prints the
-per-table state size so the size-aware default (see
-LakeTable._pick_compression) has measured calibration points.
+protocol with interleaved best-of trials on a quiet host, and prints
+the per-table state size as calibration evidence.  Outcome (BENCH.md
+round-6): zstd won at the probe too, so the size-aware default that
+was prototyped from these numbers was REJECTED and zstd stayed the
+unconditional default — this script measures the two real codecs only.
 
 Usage: python scripts/bench_codec_probe.py [trials]
 """
@@ -38,7 +40,7 @@ def run_once(spark, wal: str, work: str, mode: str, codec: str) -> dict:
     from fec_cn_support_etl_spark.cdc.table import LakeTable
 
     table_dir = os.path.join(work, f"lake-{mode}-{codec}-{time.time_ns()}")
-    props = None if codec == "auto" else {"write_compression": codec}
+    props = {"write_compression": codec}
     summary = runner.replay(
         spark, wal, table_dir, n_buckets=64, mode=mode,
         table_props=props, log=lambda *_: None,
@@ -81,7 +83,7 @@ def main() -> None:
             # interleave codecs inside each trial so one contention
             # episode can't bias a whole codec arm
             for mode in ("cow", "mor"):
-                for codec in ("snappy", "zstd", "auto"):
+                for codec in ("snappy", "zstd"):
                     wait_for_quiet_host(max_wait_sec=120)
                     r = run_once(spark, wal, work, mode, codec)
                     k = (mode, codec)

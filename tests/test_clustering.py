@@ -69,7 +69,9 @@ def test_lloyd_objective_monotone_and_converges(spark):
     for r in rows:
         norm = math.sqrt(sum(x * x for x in r["cv"]))
         assert abs(norm - 1.0) < 1e-9
-    # one more assignment against the final centroids changes nothing
-    # beyond quantization ties: every vector still assigned exactly once
+    # the returned pair is mutually consistent: re-assigning against the
+    # returned centroids reproduces the returned assignment exactly
     again = kmeans_assign(emb, c4, "vec_id", "embedding", centroid_vec_col="cv")
-    assert again.count() == emb.count()
+    assert sorted(tuple(r) for r in again.select("id", "cluster_id").collect()) == sorted(
+        tuple(r) for r in a4.select("id", "cluster_id").collect()
+    )

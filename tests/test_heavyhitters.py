@@ -138,3 +138,34 @@ def test_catalog_query_sketch_ok_everywhere(spark):
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
     out = catalog.QUERIES["heavy_hitters_guaranteed"](spark, sf).collect()
     assert out and all(r["sketch_ok"] for r in out)
+
+    # Non-vacuousness: sketch_ok is the implication "cnt above the
+    # shard's summed tail bound => present with correct bounds", which
+    # is a theorem on any corpus.  Prove the fixture exercises the
+    # membership branch, not the vacuous one: rebuild the query's
+    # summaries and check every emitted heavy hitter EXCEEDS its
+    # shard's bound.
+    d = catalog._t(spark, sf, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    grams = d.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("item"),
+    )
+    parts = [
+        hh_summary(grams.filter(F.col("doc_id") % 2 == b), ["source"], "item", 8, 64)
+        for b in (0, 1)
+    ]
+    _, tail = hh_merge(parts, ["source"])
+    tb = {(r["source"], r[SHARD_COL]): r["tail_max"] for r in tail.collect()}
+    hits = spark.createDataFrame(
+        [(r["source"], r["item"], r["cnt"]) for r in out], "source string, item string, cnt long"
+    ).withColumn("shard", F.pmod(F.xxhash64("item"), F.lit(8)))
+    for r in hits.collect():
+        assert r["cnt"] > tb.get((r["source"], r["shard"]), 0), (r["source"], r["item"])
