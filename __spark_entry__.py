@@ -42,6 +42,7 @@ _PRIORITY = [
     "bm25_doc_ranking",
     "heavy_hitters_guaranteed",
     "embedding_kmeans_assign",
+    "stream_enrich_dimension",
     # unswept by the driver in r5 (backfill):
     "q5_local_supplier_volume",
     "q12_shipmode_priority",

@@ -3447,3 +3447,75 @@ def embedding_kmeans_assign(spark, sf_dir):
         F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cv")
     )
     return kmeans_assign(emb, cent, "vec_id", "embedding").select("id", "cluster_id")
+
+
+@_q(
+    "stream_enrich_dimension",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment AS segment,
+           CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS total
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def stream_enrich_dimension(spark, sf_dir):
+    """Stream-KTable enrichment run to completion: orders arrive as a
+    file stream and each micro-batch LEFT-joins the CURRENT committed
+    state of a CDC-maintained customer dimension (streaming/enrich.py —
+    foreachBatch re-resolves the LakeTable snapshot per trigger, which
+    native stream-static joins cannot do because the static side's file
+    listing binds at plan time).  With one committed dimension version
+    the complete output equals the batch join (the oracle); the
+    dimension-changes-mid-stream behavior and the per-row version stamp
+    are pinned by tests/test_streaming.py::
+    test_stream_enrich_sees_live_dimension_versions.  100-TB shape: the
+    dimension auto-broadcasts below a size budget (compressed-bytes
+    manifest stat, no Spark job) and falls back to a shuffle join above
+    it, re-deciding every trigger; facts stream through without ever
+    shuffling in the broadcast regime.  Reference analog: the broadcast
+    dict-map enrichment of scripts/individual_support.py:17-27 lifted
+    to a live dimension."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..cdc.table import BUCKET_COL, LakeTable, bucket_expr
+    from ..streaming.enrich import read_enriched, stream_enrich_with_table
+
+    work = tempfile.mkdtemp(prefix="stream-enrich-")
+    try:
+        cust = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lit(1).cast("long").alias("lsn"),
+        )
+        dim = LakeTable.create(
+            spark,
+            f"{work}/dim",
+            cust.schema,
+            key_cols=["o_custkey"],
+            n_buckets=4,
+            order_cols=["lsn"],
+        )
+        dim.commit_merge(
+            cust.withColumn(BUCKET_COL, bucket_expr(["o_custkey"], 4)), [0, 1, 2, 3], epoch="1"
+        )
+        q = stream_enrich_with_table(
+            spark,
+            f"{sf_dir}/orders.parquet",
+            dim,
+            ["o_custkey"],
+            ["segment"],
+            f"{work}/sink",
+            f"{work}/ckpt",
+        )
+        q.awaitTermination()
+        out = read_enriched(spark, f"{work}/sink").select(
+            "o_orderkey",
+            "o_custkey",
+            "segment",
+            F.round(F.col("o_totalprice").cast("decimal(18,4)"), 2).cast("double").alias("total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -80,11 +80,18 @@ def stream_enrich_with_table(
         out = batch_df.join(dim, keys, "left").withColumn(VERSION_COL, F.lit(snap.version))
         out.write.mode("overwrite").parquet(os.path.join(sink_dir, f"batch={batch_id}"))
 
-    reader = (
-        spark.readStream.schema(batch_schema)
-        .option("maxFilesPerTrigger", int(max_files_per_trigger))
-        .parquet(stream_dir)
+    reader = spark.readStream.schema(batch_schema).option(
+        "maxFilesPerTrigger", int(max_files_per_trigger)
     )
+    # the file stream source needs a directory; point at the parent with
+    # a glob filter when given a single parquet file (same pattern as
+    # streaming/pipeline.py::windowed_event_agg)
+    if os.path.isfile(stream_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(stream_dir)).parquet(
+            os.path.dirname(stream_dir)
+        )
+    else:
+        reader = reader.parquet(stream_dir)
     writer = reader.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
