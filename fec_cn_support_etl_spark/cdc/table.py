@@ -133,6 +133,116 @@ def _json_safe(v, widen: str | None = None):
     return iso() if callable(iso) else None
 
 
+# --------------------------------------------------- per-file bloom index
+# Zone maps (min/max) prune RANGE predicates but are useless for equality
+# on a high-cardinality, hash-distributed column (every file's min/max
+# spans the whole domain).  The lakehouse answer (Delta's bloom filter
+# index, Iceberg puffin blobs) is a small per-file bloom over the
+# column's distinct values, consulted driver-side for point predicates.
+# Fixed geometry (props['bloom_bits'], k=6 double-hashing) so per-file
+# blooms OR together into the entry-level bloom — merge stays closed,
+# exactly like the min/max fold.  A saturated bloom stops pruning but
+# never lies; a file whose schema lacks the column gets the EMPTY bloom
+# (its rows are all-NULL there, and `col = v` never matches NULL).
+_BLOOM_K = 6
+
+
+def _bloom_key_bytes(v) -> bytes | None:
+    """Canonical hash input; must be identical at build (pyarrow value)
+    and probe (user literal) time.  Only int/str/bytes columns are
+    bloom-indexable — the high-cardinality identifier case; anything
+    else returns None and the column records no bloom (never pruned)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, bytes):
+        return v
+    if isinstance(v, int):
+        return str(v).encode("ascii")
+    return None
+
+
+def _bloom_positions(key: bytes, m: int) -> list[int]:
+    import hashlib
+
+    d = hashlib.blake2b(key, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd: full-cycle stride
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_build(values, m: int) -> dict | None:
+    """{"m": bits, "k": hashes, "b64": bitset} over the values' canonical
+    encodings, or None when the column's type is not bloom-indexable."""
+    import base64
+
+    bits = bytearray(m // 8)
+    for v in values:
+        key = _bloom_key_bytes(v)
+        if key is None:
+            if v is not None and not isinstance(v, bool):
+                return None  # unsupported type: no bloom at all
+            continue  # NULLs never match an equality predicate
+        for p in _bloom_positions(key, m):
+            bits[p >> 3] |= 1 << (p & 7)
+    return {"m": m, "k": _BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def _bloom_may_contain(bloom: dict | None, value) -> bool:
+    """False only on a PROVEN miss; any malformed/missing bloom or
+    un-encodable probe value keeps the file (conservative)."""
+    import base64
+
+    if not bloom or bloom.get("k") != _BLOOM_K:
+        return True
+    key = _bloom_key_bytes(value)
+    if key is None:
+        return True
+    try:
+        bits = base64.b64decode(bloom["b64"])
+        m = int(bloom["m"])
+        if len(bits) * 8 != m:
+            return True
+    except Exception:
+        return True
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(key, m))
+
+
+def _bloom_or(a: dict | None, b: dict | None) -> dict | None:
+    """OR-merge two blooms (entry-level = union of its files); geometry
+    mismatch or a missing side yields None — no entry bloom, no pruning."""
+    import base64
+
+    if not a or not b or a.get("m") != b.get("m") or a.get("k") != b.get("k"):
+        return None
+    ba = bytes(x | y for x, y in zip(base64.b64decode(a["b64"]), base64.b64decode(b["b64"])))
+    return {"m": a["m"], "k": a["k"], "b64": base64.b64encode(ba).decode("ascii")}
+
+
+def _one_file_blooms(path: str, bloom_cols: list[str], m: int) -> dict:
+    """Per-column blooms for one parquet file: ONE single-column read per
+    indexed column (distinct-reduced before hashing).  This is the only
+    stats path that reads data pages, which is why bloom_cols is opt-in;
+    it runs at write/maintenance time, mirroring how Delta/Iceberg build
+    their file-level blooms inline with the write."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    names = set(pf.schema_arrow.names)
+    out: dict = {}
+    for c in bloom_cols:
+        if c not in names:
+            out[c] = _bloom_build([], m)  # schema-evolved file: all-NULL column
+            continue
+        col = pf.read(columns=[c]).column(0)
+        bl = _bloom_build(pc.unique(col).to_pylist(), m)
+        if bl is not None:
+            out[c] = bl
+    return out
+
+
 def _one_file_stats(path: str, stat_cols: list[str]) -> dict:
     import pyarrow.parquet as pq
 
@@ -166,19 +276,32 @@ def _one_file_stats(path: str, stat_cols: list[str]) -> dict:
 
 
 def _agg_stats(per_file: dict) -> dict:
-    """Fold per-file stats into one entry-level {col: {min, max}}."""
+    """Fold per-file stats into one entry-level {col: {min, max[, bloom]}}.
+    The entry bloom is the OR of the file blooms, and is recorded only
+    when EVERY file contributed one — a file with no bloom has unknown
+    values, so an entry-level "proven absent" would be unsound."""
     out: dict = {}
+    blooms: dict = {}
+    n_bloom: dict = {}
     for st in per_file.values():
         for c, v in st.items():
-            cur = out.get(c)
-            if cur is None:
-                out[c] = dict(v)
-            else:
-                try:
-                    cur["min"] = min(cur["min"], v["min"])
-                    cur["max"] = max(cur["max"], v["max"])
-                except TypeError:  # mixed types across files: no safe bound
-                    out[c] = {"min": None, "max": None}
+            if "min" in v:
+                cur = out.get(c)
+                if cur is None:
+                    out[c] = {"min": v["min"], "max": v["max"]}
+                else:
+                    try:
+                        cur["min"] = min(cur["min"], v["min"])
+                        cur["max"] = max(cur["max"], v["max"])
+                    except TypeError:  # mixed types across files: no safe bound
+                        cur["min"], cur["max"] = None, None
+            bl = v.get("bloom")
+            if bl is not None:
+                n_bloom[c] = n_bloom.get(c, 0) + 1
+                blooms[c] = bl if c not in blooms else _bloom_or(blooms[c], bl)
+    for c, bl in blooms.items():
+        if bl is not None and n_bloom.get(c, 0) == len(per_file):
+            out.setdefault(c, {})["bloom"] = bl
     return out
 
 
@@ -190,16 +313,26 @@ def _dir_stats(bdir: str, stat_cols: list[str]) -> dict:
     return _agg_stats(_file_stats(bdir, stat_cols))
 
 
-def _file_stats(bdir: str, stat_cols: list[str]) -> dict:
+def _file_stats(
+    bdir: str,
+    stat_cols: list[str],
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
+) -> dict:
     """Per-FILE footer stats for one bucket directory — recorded by any
     commit whose bucket dir holds more than one file (and always by
     clustered compaction's range slicing), so files inside a resolved
     bucket can be pruned individually (Iceberg per-data-file manifest
-    stats)."""
+    stats).  With ``bloom_cols`` each file also gets a per-column bloom
+    over its distinct values (equality-predicate pruning)."""
     out: dict = {}
     for name in sorted(os.listdir(bdir)):
         if name.endswith(".parquet"):
-            out[name] = _one_file_stats(os.path.join(bdir, name), stat_cols)
+            path = os.path.join(bdir, name)
+            st = _one_file_stats(path, stat_cols)
+            for c, bl in _one_file_blooms(path, bloom_cols or [], bloom_bits).items():
+                st.setdefault(c, {})["bloom"] = bl
+            out[name] = st
     return out
 
 
@@ -382,6 +515,25 @@ class LakeTable:
         column so time-range reads can zone-map-prune."""
         extra = [c.strip() for c in str((snap.props or {}).get("stat_cols", "")).split(",") if c.strip()]
         return list(dict.fromkeys(self.STAT_COLS + extra))
+
+    def _bloom_cols(self, snap: Snapshot) -> list[str]:
+        """Columns bloom-indexed per file at commit time, declared via
+        ``props['bloom_cols']`` (comma-separated).  Opt-in because the
+        build reads the column's data pages once per written file
+        (footer min/max are free by comparison); the payoff is equality
+        pruning on high-cardinality columns whose min/max span
+        everything — ``read_where(eq=...)``."""
+        return [c.strip() for c in str((snap.props or {}).get("bloom_cols", "")).split(",") if c.strip()]
+
+    def _bloom_bits(self, snap: Snapshot) -> int:
+        """Bloom size in bits (``props['bloom_bits']``, default 8192 =
+        1 KB/file/column), rounded up to a power of two.  Size at ~10
+        bits per expected distinct value per file for ~1% false-positive
+        rate; an undersized bloom saturates and stops pruning, never
+        lies.  FIXED per table so per-file blooms OR-merge into entry-
+        and bucket-level blooms."""
+        m = int((snap.props or {}).get("bloom_bits", 8192))
+        return max(64, 1 << (m - 1).bit_length())
 
     #: codec for ALL state/delta writes. zstd (Iceberg's own modern
     #: parquet default) measured better than snappy at both protocols
@@ -657,7 +809,7 @@ class LakeTable:
                 # Per-file stats ride every multi-file commit (the footers
                 # are already being parsed for the entry-level stats);
                 # for a single-file dir they'd duplicate the entry stats.
-                fst = _file_stats(bdir, stat_cols)
+                fst = _file_stats(bdir, stat_cols, self._bloom_cols(snap), self._bloom_bits(snap))
                 entry = {
                     "path": bdir,
                     "schema_id": schema_id,
@@ -913,7 +1065,9 @@ class LakeTable:
                     # RAW reads (read_images_where / read_since_lsn
                     # planning) prune per file, so multi-file delta dirs
                     # record per-file stats too
-                    fst = _file_stats(bdir, self._stat_cols(snap))
+                    fst = _file_stats(
+                        bdir, self._stat_cols(snap), self._bloom_cols(snap), self._bloom_bits(snap)
+                    )
                     e = {"path": bdir, "schema_id": schema_id, "stats": _agg_stats(fst)}
                     if len(fst) > 1:
                         e["fstats"] = fst
@@ -1062,10 +1216,11 @@ class LakeTable:
         return out.filter(F.col("lsn") >= min_lsn)
 
     # ------------------------------------------------- zone-map pruned reads
-    def _plan_pruned_scan(self, bounds: dict, snap: Snapshot):
-        """Driver-side zone-map planning for a FINAL-STATE read under a
-        conjunction of column bounds.  Returns ``(clean_by_schema,
-        dirty_buckets, n_pruned_files, n_pruned_buckets)``.
+    def _plan_pruned_scan(self, bounds: dict, snap: Snapshot, eq: dict | None = None):
+        """Driver-side zone-map + bloom planning for a FINAL-STATE read
+        under a conjunction of column bounds and equality predicates.
+        Returns ``(clean_by_schema, dirty_buckets, n_pruned_files,
+        n_pruned_buckets)``.
 
         Pruning granularity is dictated by LWW safety:
 
@@ -1080,22 +1235,36 @@ class LakeTable:
           out-of-bounds file could drop the WINNING image of a key and
           let a stale in-bounds delta image surface.  All-or-nothing
           only."""
+        eq = dict(eq or {})
+        # an equality predicate is also a degenerate range for min/max
+        # pruning; explicit bounds on the same column win the merge (both
+        # are re-applied as filters, so pruning may use either soundly)
+        all_bounds = {**{c: (v, v) for c, v in eq.items()}, **bounds}
+
+        def _keep(stats: dict | None) -> bool:
+            if not _overlaps(stats, all_bounds):
+                return False
+            st = stats or {}
+            return all(
+                _bloom_may_contain((st.get(c) or {}).get("bloom"), v) for c, v in eq.items()
+            )
+
         clean: dict[str, list[str]] = {}
         dirty: list[int] = []
         pruned_files = pruned_buckets = 0
         for b, files in snap.buckets.items():
-            if not any(_overlaps(f.get("stats"), bounds) for f in files):
+            if not any(_keep(f.get("stats")) for f in files):
                 pruned_buckets += 1
                 pruned_files += sum(len(f.get("fstats") or [1]) for f in files)
                 continue
             if all(f.get("resolved") for f in files):
                 for f in files:
-                    if not _overlaps(f.get("stats"), bounds):
+                    if not _keep(f.get("stats")):
                         pruned_files += len(f.get("fstats") or [1])
                         continue
                     fst = f.get("fstats")
                     if fst:
-                        kept = [n for n in sorted(fst) if _overlaps(fst[n], bounds)]
+                        kept = [n for n in sorted(fst) if _keep(fst[n])]
                         pruned_files += len(fst) - len(kept)
                         clean.setdefault(f["schema_id"], []).extend(
                             os.path.join(f["path"], n) for n in kept
@@ -1118,24 +1287,32 @@ class LakeTable:
 
     def read_where(
         self,
-        bounds: dict,
+        bounds: dict | None = None,
         snap: Snapshot | None = None,
         include_deleted: bool = False,
+        eq: dict | None = None,
     ) -> DataFrame:
         """Final-state read restricted to ``bounds`` — a dict
-        ``{col: (lo, hi)}`` of inclusive bounds (None = open side),
-        ANDed together.  Result is EXACTLY ``read().filter(...)``
+        ``{col: (lo, hi)}`` of inclusive bounds (None = open side) —
+        and ``eq`` — a dict ``{col: value}`` of equality predicates —
+        all ANDed together.  Result is EXACTLY ``read().filter(...)``
         (test-pinned), but files/buckets provably disjoint from the
-        bounds are pruned driver-side from the manifest stats before
+        predicates are pruned driver-side from the manifest stats before
         any Spark job is planned — on a clustered table
         (``compact(cluster_by=...)``) a narrow time-range read touches
-        only the matching range slices of each bucket.  Bounds must be
-        JSON-stat-comparable literals (ints, strings; temporal stats
-        are stored as ISO strings — pass ISO strings).  Rows, including
-        tombstones under ``include_deleted``, must satisfy the bounds."""
+        only the matching range slices of each bucket, and an ``eq``
+        probe on a ``props['bloom_cols']`` column prunes by per-file
+        bloom filters, which works where zone maps cannot: equality on
+        a high-cardinality column whose min/max span every file.
+        Bounds must be JSON-stat-comparable literals (ints, strings;
+        temporal stats are stored as ISO strings — pass ISO strings);
+        eq values must be int/str/bytes (the bloom-indexable types).
+        Rows, including tombstones under ``include_deleted``, must
+        satisfy the predicates."""
+        bounds = dict(bounds or {})
         snap = snap or self.current_snapshot()
         cur_schema = self.schema(snap)
-        clean, dirty, _, _ = self._plan_pruned_scan(bounds, snap)
+        clean, dirty, _, _ = self._plan_pruned_scan(bounds, snap, eq)
         parts = []
         if clean:
             for sid, paths in sorted(clean.items()):
@@ -1154,7 +1331,10 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        out = out.filter(self._bounds_filter(bounds))
+        cond = self._bounds_filter(bounds)
+        for c, v in (eq or {}).items():
+            cond = cond & (F.col(c) == F.lit(v))
+        out = out.filter(cond)
         if not include_deleted and DELETED_COL in out.columns:
             out = out.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return out

@@ -1,0 +1,201 @@
+"""Per-file bloom index: equality-predicate pruning where zone maps
+cannot prune (high-cardinality columns whose min/max span every file).
+
+Contract pinned here:
+
+* ``read_where(eq=...)`` EXACTLY equals ``read().filter(col == v)``
+  while provably pruning buckets/files driver-side;
+* a proven bloom miss prunes; a missing/unsupported/saturated bloom
+  only ever KEEPS files (conservative);
+* mixed base+delta buckets stay all-or-nothing (the stale-image trap:
+  an eq probe matching a superseded base image must return the LWW
+  truth, not the stale row);
+* entry-level blooms are the OR of per-file blooms and exist only when
+  EVERY file contributed one;
+* blooms survive the snapshot JSON round trip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fec_cn_support_etl_spark.cdc.table import (
+    BUCKET_COL,
+    LakeTable,
+    _agg_stats,
+    _bloom_build,
+    _bloom_may_contain,
+    bucket_expr,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+    ]
+)
+
+N_BUCKETS = 8
+
+
+def _mk(spark, root, n=400, props=None):
+    t = LakeTable.create(
+        spark,
+        root,
+        SCHEMA,
+        key_cols=["id"],
+        n_buckets=N_BUCKETS,
+        order_cols=["lsn"],
+        props={"bloom_cols": "v", **(props or {})},
+    )
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            # high-cardinality, hash-spread: every bucket's min/max span
+            # essentially the whole domain, so zone maps cannot prune
+            F.md5(F.col("id").cast("string")).alias("v"),
+            ((F.col("id") * 37) % 4000).alias("ts"),
+            F.col("id").alias("lsn"),
+        )
+        .withColumn(BUCKET_COL, bucket_expr(["id"], N_BUCKETS))
+    )
+    t.commit_merge(df, list(range(N_BUCKETS)), epoch="0")
+    return t
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("id", "v", "ts", "lsn").collect())
+
+
+def test_bloom_eq_prunes_where_zone_maps_cannot(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "lake"))
+    snap = t.current_snapshot()
+    probe = spark.sql("SELECT md5('123') AS v").first()["v"]  # id=123's value
+
+    # zone maps alone: nothing prunable (min/max span the hex domain)
+    _, _, _, pb_range = t._plan_pruned_scan({"v": (probe, probe)}, snap)
+    assert pb_range == 0, "fixture must be zone-map-unprunable for the test to mean anything"
+
+    # bloom eq probe: the value lives in one bucket; most buckets prune
+    _, _, _, pb_eq = t._plan_pruned_scan({}, snap, eq={"v": probe})
+    assert pb_eq >= N_BUCKETS - 2, f"expected bloom pruning, pruned {pb_eq}/{N_BUCKETS} buckets"
+
+    want = _rows(t.read(snap).filter(F.col("v") == probe))
+    got = _rows(t.read_where(eq={"v": probe}, snap=snap))
+    assert want == got and len(got) == 1
+
+    # blooms survived the snapshot JSON round trip
+    on_disk = json.load(open(os.path.join(t._snap_dir, f"v{snap.version}.json")))
+    entries = [f for fs in on_disk["buckets"].values() for f in fs]
+    assert any("bloom" in (f.get("stats") or {}).get("v", {}) for f in entries)
+
+
+def test_bloom_absent_value_prunes_everything(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "lake2"))
+    snap = t.current_snapshot()
+    out = t.read_where(eq={"v": "definitely-not-a-md5-value"}, snap=snap)
+    assert out.count() == 0
+    # schema matches the non-empty branch / read().filter(...)
+    assert out.columns == t.read(snap).columns
+    _, _, _, pb = t._plan_pruned_scan({}, snap, eq={"v": "definitely-not-a-md5-value"})
+    assert pb == N_BUCKETS
+
+
+def test_bloom_mixed_bucket_stale_image_safety(spark, tmp_path):
+    """An eq probe matching a SUPERSEDED base image must return the LWW
+    truth: the delta'd bucket is read whole and resolved, never pruned
+    at file granularity."""
+    t = _mk(spark, str(tmp_path / "lake3"), n=100)
+    old = spark.sql("SELECT md5('7') AS v").first()["v"]
+    upd = (
+        spark.range(7, 8)
+        .select(
+            F.col("id"),
+            F.lit("updated").alias("v"),
+            F.lit(9999).cast("long").alias("ts"),
+            F.lit(10_000).cast("long").alias("lsn"),
+        )
+        .withColumn(BUCKET_COL, bucket_expr(["id"], N_BUCKETS))
+    )
+    t.commit_append_delta(upd, None, epoch="1")
+    snap = t.current_snapshot()
+    # the old image's value matches the base file's bloom, but LWW says gone
+    assert _rows(t.read_where(eq={"v": old}, snap=snap)) == _rows(
+        t.read(snap).filter(F.col("v") == old)
+    )
+    assert t.read_where(eq={"v": old}, snap=snap).count() == 0
+    # and the new value is found
+    assert t.read_where(eq={"v": "updated"}, snap=snap).count() == 1
+
+
+def test_bloom_after_clustered_compaction_prunes_files(spark, tmp_path):
+    """compact(cluster_by=...) rewrites range-sliced multi-file buckets;
+    blooms are rebuilt per slice, so an eq probe prunes individual files
+    inside resolved buckets too."""
+    t = _mk(spark, str(tmp_path / "lake4"), props={"stat_cols": "ts"})
+    snap = t.compact(max_files=0, cluster_by="ts", slices=4)
+    probe = spark.sql("SELECT md5('123') AS v").first()["v"]
+    _, dirty, pruned_files, _ = t._plan_pruned_scan({}, snap, eq={"v": probe})
+    assert not dirty and pruned_files > 0
+    want = _rows(t.read(snap).filter(F.col("v") == probe))
+    got = _rows(t.read_where(eq={"v": probe}, snap=snap))
+    assert want == got and len(got) == 1
+    # combined range + eq predicates still exact
+    both = t.read_where({"ts": (0, 3999)}, snap=snap, eq={"v": probe})
+    assert _rows(both) == want
+
+
+def test_entry_bloom_requires_every_file(spark):
+    m = 256
+    a = _bloom_build(["x", "y"], m)
+    b = _bloom_build(["z"], m)
+    # both files contribute -> OR: may contain all three, not others
+    agg = _agg_stats({"f1": {"v": {"bloom": a}}, "f2": {"v": {"bloom": b}}})
+    bl = agg["v"]["bloom"]
+    assert all(_bloom_may_contain(bl, x) for x in ("x", "y", "z"))
+    assert not _bloom_may_contain(bl, "absent-value-1234567")
+    # one file without a bloom -> entry bloom must be absent (its values
+    # are unknown; a proven-absent claim would be unsound)
+    agg2 = _agg_stats({"f1": {"v": {"bloom": a}}, "f2": {"v": {"min": 1, "max": 2}}})
+    assert "bloom" not in agg2.get("v", {})
+
+
+def test_bloom_unsupported_types_stay_conservative(spark, tmp_path):
+    """A float bloom_col records no bloom (never prunes); probing with an
+    un-encodable value keeps everything; results always equal filter."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "lake5"),
+        schema,
+        key_cols=["id"],
+        n_buckets=2,
+        order_cols=["lsn"],
+        props={"bloom_cols": "x"},
+    )
+    df = (
+        spark.range(50)
+        .select(F.col("id"), (F.col("id") * 0.5).alias("x"), F.col("id").alias("lsn"))
+        .withColumn(BUCKET_COL, bucket_expr(["id"], 2))
+    )
+    t.commit_merge(df, [0, 1], epoch="0")
+    snap = t.current_snapshot()
+    entries = [f for fs in snap.buckets.values() for f in fs]
+    assert all("bloom" not in (f.get("stats") or {}).get("x", {}) for f in entries)
+    _, _, _, pb = t._plan_pruned_scan({}, snap, eq={"x": 2.5})
+    assert pb == 0  # nothing pruned — conservative
+    got = sorted(r["id"] for r in t.read_where(eq={"x": 2.5}, snap=snap).collect())
+    assert got == [5]
