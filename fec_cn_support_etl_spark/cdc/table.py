@@ -174,19 +174,41 @@ def _bloom_positions(key: bytes, m: int) -> list[int]:
 
 def _bloom_build(values, m: int) -> dict | None:
     """{"m": bits, "k": hashes, "b64": bitset} over the values' canonical
-    encodings, or None when the column's type is not bloom-indexable."""
-    import base64
+    encodings, or None when the column's type is not bloom-indexable.
 
-    bits = bytearray(m // 8)
+    ``m`` must be a power of two: position math is vectorized in numpy
+    uint64 (the digests wrap mod 2**64), and ``x % m`` for power-of-two
+    ``m`` depends only on the low bits — so the wrapped arithmetic and
+    the probe side's arbitrary-precision Python ints agree exactly.
+    Cost is one blake2b per DISTINCT value (C speed) plus vectorized
+    position/bit work — the build stays O(distinct) with a small
+    constant, which is what lets it ride the commit path."""
+    import base64
+    import hashlib
+
+    import numpy as np
+
+    if m & (m - 1):
+        raise ValueError(f"bloom_bits must be a power of two, got {m}")
+    keys = []
     for v in values:
         key = _bloom_key_bytes(v)
         if key is None:
             if v is not None and not isinstance(v, bool):
                 return None  # unsupported type: no bloom at all
             continue  # NULLs never match an equality predicate
-        for p in _bloom_positions(key, m):
-            bits[p >> 3] |= 1 << (p & 7)
-    return {"m": m, "k": _BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+        keys.append(key)
+    if keys:
+        digs = b"".join(hashlib.blake2b(k, digest_size=16).digest() for k in keys)
+        arr = np.frombuffer(digs, dtype="<u8").reshape(-1, 2)
+        h1, h2 = arr[:, 0], arr[:, 1] | np.uint64(1)
+        hit = np.zeros(m, dtype=bool)
+        for i in range(_BLOOM_K):
+            hit[((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)] = True
+        bits = np.packbits(hit, bitorder="little").tobytes()
+    else:
+        bits = bytes(m // 8)
+    return {"m": m, "k": _BLOOM_K, "b64": base64.b64encode(bits).decode("ascii")}
 
 
 def _bloom_may_contain(bloom: dict | None, value) -> bool:
@@ -243,6 +265,64 @@ def _one_file_blooms(path: str, bloom_cols: list[str], m: int) -> dict:
     return out
 
 
+BLOOM_SIDECAR = "_blooms.json"
+
+
+def _write_dir_blooms(bdir: str, bloom_cols: list[str], m: int) -> dict:
+    """Build per-file blooms for every parquet file in ``bdir``, write
+    them to a ``_blooms.json`` SIDECAR inside the dir, and return the
+    entry-level OR-merge (bounded — one bloom per column per entry —
+    safe to inline in the snapshot manifest).
+
+    Why a sidecar (Iceberg's puffin-blob shape) and not the manifest:
+    per-FILE blooms grow with file count, and the snapshot JSON is
+    rewritten on every commit — inlining them would put O(files) bytes
+    on the commit critical path forever.  The underscore prefix makes
+    Spark/Hadoop scans ignore the sidecar as a hidden file; it lives
+    and dies with its directory (vacuumed as part of the orphan dir,
+    rewritten by compaction), and the planner loads it lazily, only
+    for entries that survive zone-map + entry-bloom pruning.
+
+    Builds run on a small thread pool — pyarrow releases the GIL in the
+    column read, which is the bulk of the cost."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not bloom_cols:
+        return {}
+    names = [n for n in sorted(os.listdir(bdir)) if n.endswith(".parquet")]
+    if not names:
+        return {}
+    with ThreadPoolExecutor(max_workers=min(8, len(names))) as ex:
+        per_file = dict(
+            zip(
+                names,
+                ex.map(lambda n: _one_file_blooms(os.path.join(bdir, n), bloom_cols, m), names),
+            )
+        )
+    entry: dict = {}
+    for c in bloom_cols:
+        blooms = [fb.get(c) for fb in per_file.values()]
+        if all(b is not None for b in blooms):
+            merged = blooms[0]
+            for b in blooms[1:]:
+                merged = _bloom_or(merged, b)
+            if merged is not None:
+                entry[c] = merged
+    with open(os.path.join(bdir, BLOOM_SIDECAR), "w") as fh:
+        json.dump({"files": per_file, "entry": entry}, fh)
+    return entry
+
+
+def _read_dir_blooms(entry_path: str) -> dict:
+    """Per-file blooms from an entry dir's sidecar; {} when absent or
+    unreadable (pruning then simply keeps every file — conservative)."""
+    try:
+        with open(os.path.join(entry_path, BLOOM_SIDECAR)) as fh:
+            return json.load(fh).get("files") or {}
+    except Exception:
+        return {}
+
+
 def _one_file_stats(path: str, stat_cols: list[str]) -> dict:
     import pyarrow.parquet as pq
 
@@ -276,32 +356,19 @@ def _one_file_stats(path: str, stat_cols: list[str]) -> dict:
 
 
 def _agg_stats(per_file: dict) -> dict:
-    """Fold per-file stats into one entry-level {col: {min, max[, bloom]}}.
-    The entry bloom is the OR of the file blooms, and is recorded only
-    when EVERY file contributed one — a file with no bloom has unknown
-    values, so an entry-level "proven absent" would be unsound."""
+    """Fold per-file stats into one entry-level {col: {min, max}}."""
     out: dict = {}
-    blooms: dict = {}
-    n_bloom: dict = {}
     for st in per_file.values():
         for c, v in st.items():
-            if "min" in v:
-                cur = out.get(c)
-                if cur is None:
-                    out[c] = {"min": v["min"], "max": v["max"]}
-                else:
-                    try:
-                        cur["min"] = min(cur["min"], v["min"])
-                        cur["max"] = max(cur["max"], v["max"])
-                    except TypeError:  # mixed types across files: no safe bound
-                        cur["min"], cur["max"] = None, None
-            bl = v.get("bloom")
-            if bl is not None:
-                n_bloom[c] = n_bloom.get(c, 0) + 1
-                blooms[c] = bl if c not in blooms else _bloom_or(blooms[c], bl)
-    for c, bl in blooms.items():
-        if bl is not None and n_bloom.get(c, 0) == len(per_file):
-            out.setdefault(c, {})["bloom"] = bl
+            cur = out.get(c)
+            if cur is None:
+                out[c] = dict(v)
+            else:
+                try:
+                    cur["min"] = min(cur["min"], v["min"])
+                    cur["max"] = max(cur["max"], v["max"])
+                except TypeError:  # mixed types across files: no safe bound
+                    out[c] = {"min": None, "max": None}
     return out
 
 
@@ -313,26 +380,16 @@ def _dir_stats(bdir: str, stat_cols: list[str]) -> dict:
     return _agg_stats(_file_stats(bdir, stat_cols))
 
 
-def _file_stats(
-    bdir: str,
-    stat_cols: list[str],
-    bloom_cols: list[str] | None = None,
-    bloom_bits: int = 8192,
-) -> dict:
+def _file_stats(bdir: str, stat_cols: list[str]) -> dict:
     """Per-FILE footer stats for one bucket directory — recorded by any
     commit whose bucket dir holds more than one file (and always by
     clustered compaction's range slicing), so files inside a resolved
     bucket can be pruned individually (Iceberg per-data-file manifest
-    stats).  With ``bloom_cols`` each file also gets a per-column bloom
-    over its distinct values (equality-predicate pruning)."""
+    stats)."""
     out: dict = {}
     for name in sorted(os.listdir(bdir)):
         if name.endswith(".parquet"):
-            path = os.path.join(bdir, name)
-            st = _one_file_stats(path, stat_cols)
-            for c, bl in _one_file_blooms(path, bloom_cols or [], bloom_bits).items():
-                st.setdefault(c, {})["bloom"] = bl
-            out[name] = st
+            out[name] = _one_file_stats(os.path.join(bdir, name), stat_cols)
     return out
 
 
@@ -809,11 +866,16 @@ class LakeTable:
                 # Per-file stats ride every multi-file commit (the footers
                 # are already being parsed for the entry-level stats);
                 # for a single-file dir they'd duplicate the entry stats.
-                fst = _file_stats(bdir, stat_cols, self._bloom_cols(snap), self._bloom_bits(snap))
+                fst = _file_stats(bdir, stat_cols)
+                stats = _agg_stats(fst)
+                for c, bl in _write_dir_blooms(
+                    bdir, self._bloom_cols(snap), self._bloom_bits(snap)
+                ).items():
+                    stats.setdefault(c, {})["bloom"] = bl
                 entry = {
                     "path": bdir,
                     "schema_id": schema_id,
-                    "stats": _agg_stats(fst),
+                    "stats": stats,
                     "resolved": True,
                 }
                 if len(fst) > 1:
@@ -1065,10 +1127,13 @@ class LakeTable:
                     # RAW reads (read_images_where / read_since_lsn
                     # planning) prune per file, so multi-file delta dirs
                     # record per-file stats too
-                    fst = _file_stats(
-                        bdir, self._stat_cols(snap), self._bloom_cols(snap), self._bloom_bits(snap)
-                    )
-                    e = {"path": bdir, "schema_id": schema_id, "stats": _agg_stats(fst)}
+                    fst = _file_stats(bdir, self._stat_cols(snap))
+                    stats = _agg_stats(fst)
+                    for c, bl in _write_dir_blooms(
+                        bdir, self._bloom_cols(snap), self._bloom_bits(snap)
+                    ).items():
+                        stats.setdefault(c, {})["bloom"] = bl
+                    e = {"path": bdir, "schema_id": schema_id, "stats": stats}
                     if len(fst) > 1:
                         e["fstats"] = fst
                     buckets.setdefault(str(b), []).append(e)
@@ -1264,7 +1329,20 @@ class LakeTable:
                         continue
                     fst = f.get("fstats")
                     if fst:
-                        kept = [n for n in sorted(fst) if _keep(fst[n])]
+                        # per-file blooms live in the entry dir's sidecar,
+                        # loaded lazily — only for surviving entries, only
+                        # under an eq probe ({} = keep, conservative)
+                        fb = _read_dir_blooms(f["path"]) if eq else {}
+
+                        def _keep_file(n: str) -> bool:
+                            if not _keep(fst[n]):
+                                return False
+                            nb = fb.get(n) or {}
+                            return all(
+                                _bloom_may_contain(nb.get(c), v) for c, v in eq.items()
+                            )
+
+                        kept = [n for n in sorted(fst) if _keep_file(n)]
                         pruned_files += len(fst) - len(kept)
                         clean.setdefault(f["schema_id"], []).extend(
                             os.path.join(f["path"], n) for n in kept

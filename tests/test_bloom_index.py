@@ -26,9 +26,9 @@ from pyspark.sql import types as T
 from fec_cn_support_etl_spark.cdc.table import (
     BUCKET_COL,
     LakeTable,
-    _agg_stats,
     _bloom_build,
     _bloom_may_contain,
+    _bloom_or,
     bucket_expr,
 )
 
@@ -152,19 +152,29 @@ def test_bloom_after_clustered_compaction_prunes_files(spark, tmp_path):
     assert _rows(both) == want
 
 
-def test_entry_bloom_requires_every_file(spark):
-    m = 256
-    a = _bloom_build(["x", "y"], m)
-    b = _bloom_build(["z"], m)
-    # both files contribute -> OR: may contain all three, not others
-    agg = _agg_stats({"f1": {"v": {"bloom": a}}, "f2": {"v": {"bloom": b}}})
-    bl = agg["v"]["bloom"]
-    assert all(_bloom_may_contain(bl, x) for x in ("x", "y", "z"))
-    assert not _bloom_may_contain(bl, "absent-value-1234567")
-    # one file without a bloom -> entry bloom must be absent (its values
-    # are unknown; a proven-absent claim would be unsound)
-    agg2 = _agg_stats({"f1": {"v": {"bloom": a}}, "f2": {"v": {"min": 1, "max": 2}}})
-    assert "bloom" not in agg2.get("v", {})
+def test_sidecar_entry_bloom_is_or_of_files_and_hidden_from_scans(spark, tmp_path):
+    """The per-file blooms live in a _blooms.json sidecar INSIDE the
+    entry dir (underscore-hidden, so Spark's parquet scan ignores it);
+    the inline entry bloom is their OR; bloom_or refuses geometry
+    mismatches."""
+    t = _mk(spark, str(tmp_path / "lake6"))
+    snap = t.current_snapshot()
+    entry = next(f for fs in snap.buckets.values() for f in fs)
+    side = os.path.join(entry["path"], "_blooms.json")
+    assert os.path.exists(side)
+    doc = json.load(open(side))
+    per_file, ent = doc["files"], doc["entry"]["v"]
+    # OR property: anything a file may contain, the entry may contain
+    merged = None
+    for fb in per_file.values():
+        merged = fb["v"] if merged is None else _bloom_or(merged, fb["v"])
+    assert merged == ent
+    # the sidecar is invisible to the data scan (underscore = hidden)
+    n_files = sum(len(json.load(open(os.path.join(f["path"], "_blooms.json")))["files"])
+                  for fs in snap.buckets.values() for f in fs)
+    assert t.read(snap).count() == 400 and n_files > 0
+    # geometry mismatch refuses to merge
+    assert _bloom_or(_bloom_build(["x"], 256), _bloom_build(["x"], 512)) is None
 
 
 def test_bloom_unsupported_types_stay_conservative(spark, tmp_path):
