@@ -1,0 +1,238 @@
+"""Incremental SKETCH-view maintenance over the change feed.
+
+`IncrementalAggView` (cdc/view.py) maintains exact SUM/COUNT because
+those form a group under retraction.  Sketches do not retract — HLL,
+MRL/KLL and friends are insert-only — so the honest incremental
+semantic is a sketch over the APPEND-ONLY IMAGE STREAM: every upsert
+image the table commits after the view is created folds in exactly
+once; deletes and the superseding of old images are ignored by
+construction.  That is precisely the rolling-ingest-dashboard contract
+("distinct users and latency quantiles per group, advancing with the
+feed, never rescanning history"), and it is the reason the sketch trio
+(HLL rollup, quantile sketches, heavy-hitters summaries) was built
+mergeable in the first place: a refresh is
+
+    state(group) = merge(state(group), sketch(new images of group))
+
+touching O(changed rows) + O(groups) state, never the table.
+
+Maintained per group: exact ``n_rows`` (images observed), a
+Datasketches HLL sketch of ``distinct_col`` (JVM ``hll_sketch_agg`` /
+``hll_union_agg`` — the same path as plans/catalog.py::
+approx_distinct_hll), and an MRL quantile sketch of ``quantile_col``
+(operators/qsketch.py, Arrow-batched applyInPandas).  State is
+group-cardinality, stored exactly like IncrementalAggView: one parquet
+dir per synced version + an atomically renamed JSON marker, so a
+crashed refresh re-runs idempotently (same version in, same artifact
+out) and a reader never sees a half-written view.
+
+Accuracy is pinned the membership-with-proven-gap way (the HLL and
+quantile catalog queries' discipline): estimates are checked against
+exact answers within the sketches' documented bounds — incremental
+merge order can change sketch BYTES, but both HLL union and MRL merge
+stay within the one-shot error envelope (tests/test_sketch_view.py).
+
+Reference analog: scripts/verify_data.py:47-90 recomputes its count
+summaries from scratch each cycle; this is that reporting surface made
+incremental and approximate-with-bounds at 100-TB image volumes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.qsketch import DEFAULT_K, QuantileSketch
+from .table import LakeTable
+from .view import ViewStale
+
+_MARKER = "_SKETCH_VIEW.json"
+
+
+class SketchView:
+    """Per-group mergeable sketches over a LakeTable's image stream,
+    maintained incrementally from ``read_changes``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        main: LakeTable,
+        root: str,
+        group_cols: list[str],
+        distinct_col: str | None = None,
+        quantile_col: str | None = None,
+        lg_k: int = 14,
+        qsketch_k: int = DEFAULT_K,
+    ):
+        if not distinct_col and not quantile_col:
+            raise ValueError("at least one of distinct_col / quantile_col is required")
+        self.spark = spark
+        self.main = main
+        self.root = root
+        self.group_cols = list(group_cols)
+        self.distinct_col = distinct_col
+        self.quantile_col = quantile_col
+        self.lg_k = int(lg_k)
+        self.qsketch_k = int(qsketch_k)
+
+    # ------------------------------------------------------------ state
+    def _marker_path(self) -> str:
+        return os.path.join(self.root, _MARKER)
+
+    def _state(self) -> dict:
+        with open(self._marker_path()) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return os.path.exists(self._marker_path())
+
+    def synced_version(self) -> int:
+        return int(self._state()["synced_version"])
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self._state()["dir"])
+
+    def _publish(self, df: DataFrame, version: int) -> None:
+        out = os.path.join(self.root, f"v{version}")
+        df.write.mode("overwrite").parquet(out)
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"synced_version": version, "dir": out}, f)
+        os.replace(tmp, self._marker_path())
+        vdirs = sorted(
+            (d for d in os.listdir(self.root) if d.startswith("v") and d[1:].isdigit()),
+            key=lambda d: int(d[1:]),
+        )
+        for d in vdirs[:-2]:
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+    # --------------------------------------------------------- sketching
+    def _sketch(self, images: DataFrame) -> DataFrame:
+        """One sketch-state row per group over a batch of images.  The
+        JVM side (count + HLL) and the Python side (MRL quantiles) each
+        collapse to group cardinality before the tiny join."""
+        g = self.group_cols
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        if self.distinct_col:
+            aggs.append(F.hll_sketch_agg(self.distinct_col, F.lit(self.lg_k)).alias("hll"))
+        out = images.groupBy(*g).agg(*aggs)
+        if self.quantile_col:
+            qcol, k = self.quantile_col, self.qsketch_k
+            schema = T.StructType(
+                [images.schema[c] for c in g] + [T.StructField("qsk", T.BinaryType())]
+            )
+
+            def _build(pdf):
+                import pandas as pd
+
+                sk = QuantileSketch(k).add(pdf[qcol].to_numpy(dtype="float64"))
+                row = {c: [pdf[c].iloc[0]] for c in g}
+                row["qsk"] = [sk.to_bytes()]
+                return pd.DataFrame(row)
+
+            qs = images.select(*g, qcol).groupBy(*g).applyInPandas(_build, schema)
+            out = out.join(qs, g, "full_outer")
+        return out
+
+    def _merge(self, parts: DataFrame) -> DataFrame:
+        """Fold stacked sketch-state rows (old state + delta) per group:
+        counts add, HLL blobs union in the JVM, quantile blobs merge in
+        one Arrow batch per group.  Input is group-cardinality."""
+        g = self.group_cols
+        aggs = [F.sum("n_rows").alias("n_rows")]
+        if self.distinct_col:
+            aggs.append(F.hll_union_agg("hll").alias("hll"))
+        out = parts.groupBy(*g).agg(*aggs)
+        if self.quantile_col:
+            schema = T.StructType(
+                [parts.schema[c] for c in g] + [T.StructField("qsk", T.BinaryType())]
+            )
+
+            def _fold(pdf):
+                import pandas as pd
+
+                blobs = [b for b in pdf["qsk"] if b is not None]
+                merged = QuantileSketch.merge([QuantileSketch.from_bytes(b) for b in blobs])
+                row = {c: [pdf[c].iloc[0]] for c in g}
+                row["qsk"] = [merged.to_bytes()]
+                return pd.DataFrame(row)
+
+            qs = parts.select(*g, "qsk").groupBy(*g).applyInPandas(_fold, schema)
+            out = out.join(qs, g, "full_outer")
+        return out
+
+    # ------------------------------------------------------- maintenance
+    def create(self) -> dict:
+        """Seed the view from the table's LIVE rows at the current
+        version (images superseded before the view existed were never
+        observable), then advance by the image stream."""
+        snap = self.main.current_snapshot()
+        os.makedirs(self.root, exist_ok=True)
+        for d in os.listdir(self.root):
+            if d.startswith("v"):
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        self._publish(self._sketch(self.main.read(snap=snap)), snap.version)
+        return {"synced_version": snap.version, "full_build": True}
+
+    def refresh(self) -> dict:
+        """Fold every upsert image committed since the last sync.
+        Deletes are ignored (sketches do not retract — insert-only image
+        -stream semantics, see module docstring)."""
+        st = self._state()
+        from_v = int(st["synced_version"])
+        snap = self.main.current_snapshot()
+        to_v = snap.version
+        if to_v == from_v:
+            return {"from": from_v, "to": to_v, "noop": True}
+        try:
+            changes = self.main.read_changes(from_v, to_v)
+        except FileNotFoundError as exc:
+            raise ViewStale(
+                f"change-feed range v{from_v}..v{to_v} is no longer fully retained; "
+                "rebuild with create()"
+            ) from exc
+        images = changes.filter(F.col("_change_type") == "upsert").drop(
+            "_change_type", "_commit_version"
+        )
+        delta = self._sketch(images)
+        merged = self._merge(self.read().unionByName(delta, allowMissingColumns=True))
+        self._publish(merged, to_v)
+        return {"from": from_v, "to": to_v, "noop": False}
+
+    # --------------------------------------------------------- estimates
+    def estimates(self, quantiles: list[float] | None = None) -> DataFrame:
+        """Human-facing view: group cols, exact n_rows, approx distinct
+        (HLL estimate), and requested quantile estimates — all derived
+        from the maintained state, no table access."""
+        from ..operators.qsketch import _quantile_labels
+
+        df = self.read()
+        cols = [*self.group_cols, "n_rows"]
+        if self.distinct_col:
+            df = df.withColumn("approx_distinct", F.hll_sketch_estimate("hll"))
+            cols.append("approx_distinct")
+        if self.quantile_col and quantiles:
+            labels = _quantile_labels(quantiles)
+
+            def _q_udf(q):
+                @F.pandas_udf(T.DoubleType())
+                def f(b: pd.Series) -> pd.Series:
+                    return b.map(
+                        lambda x: QuantileSketch.from_bytes(x).quantile(q)
+                        if x is not None
+                        else None
+                    )
+
+                return f
+
+            for q, lbl in zip(quantiles, labels):
+                df = df.withColumn(lbl, _q_udf(q)("qsk"))
+            cols.extend(labels)
+        return df.select(*cols)

@@ -1,0 +1,112 @@
+"""Incremental sketch view (cdc/sketch_view.py): per-group HLL +
+quantile sketch state advanced by the change feed must track the
+append-only IMAGE STREAM (live rows at create + every upsert image
+after) within the sketches' documented error bounds — the
+membership-with-proven-gap discipline, since sketch BYTES are
+merge-order-sensitive while estimates are not (beyond the bound).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from fec_cn_support_etl_spark.cdc import events as ev
+from fec_cn_support_etl_spark.cdc import runner
+from fec_cn_support_etl_spark.cdc.sketch_view import SketchView
+from fec_cn_support_etl_spark.cdc.table import LakeTable
+
+EPOCHS = 6
+
+
+@pytest.fixture(scope="module")
+def wal(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sketch-view-wal"))
+    df = ev.gen_change_events(
+        spark, 6000, n_repos=15, n_paths=50, epochs=EPOCHS, hot_fraction=0.3,
+        delete_ratio=0.1, seed=23, partitions=4,
+    )
+    ev.write_wal(df, d)
+    return d
+
+
+def _image_stream(t: LakeTable, v0: int) -> pd.DataFrame:
+    """Ground truth the view is defined over: live rows at the create
+    version + every upsert image committed after it."""
+    from pyspark.sql import functions as F
+
+    live0 = t.read(t.snapshot_at(v0)).select("lang", "path", "lsn").toPandas()
+    ch = (
+        t.read_changes(v0)
+        .filter(F.col("_change_type") == "upsert")
+        .select("lang", "path", "lsn")
+        .toPandas()
+    )
+    return pd.concat([live0, ch], ignore_index=True)
+
+
+def test_sketch_view_tracks_image_stream(spark, wal, tmp_path):
+    table_dir = str(tmp_path / "lake")
+    runner.replay(spark, wal, table_dir, n_buckets=16, mode="mor", stop_after=2, log=lambda *_: None)
+    t = LakeTable(spark, table_dir)
+    v = SketchView(
+        spark, t, str(tmp_path / "view"), ["lang"], distinct_col="path", quantile_col="lsn"
+    )
+    v.create()
+    v0 = v.synced_version()
+
+    runner.replay(spark, wal, table_dir, n_buckets=16, mode="mor", stop_after=2, log=lambda *_: None)
+    r1 = v.refresh()
+    assert not r1["noop"]
+    runner.replay(spark, wal, table_dir, n_buckets=16, mode="mor", stop_after=2, log=lambda *_: None)
+    r2 = v.refresh()
+    assert not r2["noop"] and v.synced_version() == t.current_snapshot().version
+
+    truth = _image_stream(t, v0)
+    est = v.estimates([0.5]).toPandas().set_index("lang")
+    assert set(est.index) == set(truth["lang"].unique())
+    for lang, grp in truth.groupby("lang"):
+        row = est.loc[lang]
+        # n_rows is EXACT (a count, not a sketch)
+        assert int(row["n_rows"]) == len(grp), lang
+        # HLL estimate within the lgConfigK=14 envelope (rel err ~0.8%;
+        # allow 5% — same membership bound as the catalog HLL query)
+        exact_d = grp["path"].nunique()
+        assert abs(row["approx_distinct"] - exact_d) <= max(1, 0.05 * exact_d), lang
+        # quantile estimate: TRUE rank of the returned value must sit
+        # within eps*n of the q*n target (tie-proof rank interval)
+        vals = grp["lsn"].to_numpy()
+        n = len(vals)
+        lo = (vals < row["q50"]).sum()
+        hi = (vals <= row["q50"]).sum()
+        eps = 0.02
+        assert lo <= 0.5 * n + eps * n and hi >= 0.5 * n - eps * n, (lang, lo, hi, n)
+
+
+def test_refresh_is_idempotent_and_noop_without_changes(spark, wal, tmp_path):
+    table_dir = str(tmp_path / "lake2")
+    runner.replay(spark, wal, table_dir, n_buckets=16, mode="mor", stop_after=3, log=lambda *_: None)
+    t = LakeTable(spark, table_dir)
+    v = SketchView(spark, t, str(tmp_path / "view2"), ["lang"], distinct_col="path")
+    v.create()
+    before = v.read().toPandas().sort_values("lang").reset_index(drop=True)
+    r = v.refresh()
+    assert r["noop"] and v.synced_version() == t.current_snapshot().version
+    after = v.read().toPandas().sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_quantile_only_and_distinct_only_configs(spark, wal, tmp_path):
+    table_dir = str(tmp_path / "lake3")
+    runner.replay(spark, wal, table_dir, n_buckets=16, mode="mor", stop_after=2, log=lambda *_: None)
+    t = LakeTable(spark, table_dir)
+    q_only = SketchView(spark, t, str(tmp_path / "vq"), ["lang"], quantile_col="lsn")
+    q_only.create()
+    out = q_only.estimates([0.25, 0.75]).toPandas()
+    assert {"lang", "n_rows", "q25", "q75"} <= set(out.columns)
+    d_only = SketchView(spark, t, str(tmp_path / "vd"), ["lang"], distinct_col="path")
+    d_only.create()
+    out2 = d_only.estimates().toPandas()
+    assert {"lang", "n_rows", "approx_distinct"} <= set(out2.columns)
+    with pytest.raises(ValueError):
+        SketchView(spark, t, str(tmp_path / "vx"), ["lang"])
