@@ -1417,28 +1417,52 @@ class LakeTable:
             out = out.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
         return out
 
-    def read_images_where(self, bounds: dict, snap: Snapshot | None = None) -> DataFrame:
+    def read_images_where(
+        self, bounds: dict | None = None, snap: Snapshot | None = None, eq: dict | None = None
+    ) -> DataFrame:
         """RAW row images (not LWW-resolved, tombstones included)
-        satisfying ``bounds`` — the generalization of
+        satisfying ``bounds`` and ``eq`` — the generalization of
         :meth:`read_since_lsn` to any manifest-stat column.  Raw reads
         need no merge, so pruning is always file-granular: every entry
-        (base, slice, or delta) disjoint from the bounds is skipped —
+        (base, slice, or delta) disjoint from the predicates is skipped —
         MOR delta dirs are epoch-local in event time and lsn, so
         incremental audits / late-consumer catch-up over a time window
-        list only that window's files."""
+        list only that window's files.  ``eq`` probes consult the bloom
+        index (``props['bloom_cols']``) exactly as :meth:`read_where`
+        does — including inside delta dirs, whose commits write the same
+        sidecars — so "every image this key/path ever had" audits touch
+        only files that may contain the value."""
+        bounds = dict(bounds or {})
+        eq = dict(eq or {})
+        all_bounds = {**{c: (v, v) for c, v in eq.items()}, **bounds}
+
+        def _keep(stats: dict | None) -> bool:
+            if not _overlaps(stats, all_bounds):
+                return False
+            st = stats or {}
+            return all(
+                _bloom_may_contain((st.get(c) or {}).get("bloom"), v) for c, v in eq.items()
+            )
+
         snap = snap or self.current_snapshot()
         cur_schema = self.schema(snap)
         by_schema: dict[str, list[str]] = {}
         for files in snap.buckets.values():
             for f in files:
-                if not _overlaps(f.get("stats"), bounds):
+                if not _keep(f.get("stats")):
                     continue
                 fst = f.get("fstats")
                 if fst:
+                    fb = _read_dir_blooms(f["path"]) if eq else {}
+
+                    def _keep_file(n: str) -> bool:
+                        if not _overlaps(fst[n], all_bounds):
+                            return False
+                        nb = fb.get(n) or {}
+                        return all(_bloom_may_contain(nb.get(c), v) for c, v in eq.items())
+
                     by_schema.setdefault(f["schema_id"], []).extend(
-                        os.path.join(f["path"], n)
-                        for n in sorted(fst)
-                        if _overlaps(fst[n], bounds)
+                        os.path.join(f["path"], n) for n in sorted(fst) if _keep_file(n)
                     )
                 else:
                     by_schema.setdefault(f["schema_id"], []).append(f["path"])
@@ -1451,7 +1475,10 @@ class LakeTable:
         out = parts[0]
         for p_ in parts[1:]:
             out = out.unionByName(p_)
-        return out.filter(self._bounds_filter(bounds))
+        cond = self._bounds_filter(bounds)
+        for c, v in eq.items():
+            cond = cond & (F.col(c) == F.lit(v))
+        return out.filter(cond)
 
     # ---------------------------------------------------- change data feed
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:

@@ -209,3 +209,41 @@ def test_bloom_unsupported_types_stay_conservative(spark, tmp_path):
     assert pb == 0  # nothing pruned — conservative
     got = sorted(r["id"] for r in t.read_where(eq={"x": 2.5}, snap=snap).collect())
     assert got == [5]
+
+
+def test_raw_image_eq_probe_over_base_and_deltas(spark, tmp_path):
+    """read_images_where(eq=...) returns EVERY image of the value —
+    superseded base images and delta images alike — with bloom pruning
+    applied per file (delta commits write the same sidecars)."""
+    t = _mk(spark, str(tmp_path / "lake7"), n=100)
+    old = spark.sql("SELECT md5('7') AS v").first()["v"]
+
+    def upd(key, val, lsn, epoch):
+        df = (
+            spark.range(key, key + 1)
+            .select(
+                F.col("id"),
+                F.lit(val).alias("v"),
+                F.lit(9999).cast("long").alias("ts"),
+                F.lit(lsn).cast("long").alias("lsn"),
+            )
+            .withColumn(BUCKET_COL, bucket_expr(["id"], N_BUCKETS))
+        )
+        t.commit_append_delta(df, None, epoch=epoch)
+
+    upd(7, "updated", 10_000, "1")
+    upd(8, "other", 10_001, "2")
+    snap = t.current_snapshot()
+    # delta dirs carry sidecars too
+    delta_entries = [f for fs in snap.buckets.values() for f in fs if not f.get("resolved")]
+    assert delta_entries and all(
+        os.path.exists(os.path.join(f["path"], "_blooms.json")) for f in delta_entries
+    )
+    # the superseded base image is still a raw image
+    imgs_old = t.read_images_where(eq={"v": old}, snap=snap)
+    assert [r["id"] for r in imgs_old.collect()] == [7]
+    imgs_new = t.read_images_where(eq={"v": "updated"}, snap=snap)
+    assert [(r["id"], r["lsn"]) for r in imgs_new.collect()] == [(7, 10_000)]
+    # parity with the unpruned raw read
+    unpruned = t.read_images_where({}, snap=snap).filter(F.col("v") == old)
+    assert sorted(map(tuple, imgs_old.collect())) == sorted(map(tuple, unpruned.collect()))
