@@ -39,10 +39,6 @@ incremental and approximate-with-bounds at 100-TB image volumes.
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,14 +47,15 @@ from pyspark.sql import types as T
 
 from ..operators.qsketch import DEFAULT_K, QuantileSketch
 from .table import LakeTable
-from .view import ViewStale
-
-_MARKER = "_SKETCH_VIEW.json"
+from .view import MarkerStateView, ViewStale
 
 
-class SketchView:
+class SketchView(MarkerStateView):
     """Per-group mergeable sketches over a LakeTable's image stream,
-    maintained incrementally from ``read_changes``."""
+    maintained incrementally from ``read_changes``.  State storage =
+    :class:`MarkerStateView` (versioned parquet + atomic marker)."""
+
+    MARKER = "_SKETCH_VIEW.json"
 
     def __init__(
         self,
@@ -82,38 +79,22 @@ class SketchView:
         self.lg_k = int(lg_k)
         self.qsketch_k = int(qsketch_k)
 
-    # ------------------------------------------------------------ state
-    def _marker_path(self) -> str:
-        return os.path.join(self.root, _MARKER)
-
-    def _state(self) -> dict:
-        with open(self._marker_path()) as f:
-            return json.load(f)
-
-    def exists(self) -> bool:
-        return os.path.exists(self._marker_path())
-
-    def synced_version(self) -> int:
-        return int(self._state()["synced_version"])
-
-    def read(self) -> DataFrame:
-        return self.spark.read.parquet(self._state()["dir"])
-
-    def _publish(self, df: DataFrame, version: int) -> None:
-        out = os.path.join(self.root, f"v{version}")
-        df.write.mode("overwrite").parquet(out)
-        tmp = self._marker_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"synced_version": version, "dir": out}, f)
-        os.replace(tmp, self._marker_path())
-        vdirs = sorted(
-            (d for d in os.listdir(self.root) if d.startswith("v") and d[1:].isdigit()),
-            key=lambda d: int(d[1:]),
-        )
-        for d in vdirs[:-2]:
-            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
-
     # --------------------------------------------------------- sketching
+    def _join_state(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        """Full-outer join of two group-keyed state frames with
+        NULL-SAFE key equality (a join on column names would split a
+        NULL group into two mutually-incomplete rows — the same
+        discipline as IncrementalAggView's merge)."""
+        al, bl = a.alias("a"), b.alias("b")
+        cond = None
+        for c in self.group_cols:
+            e = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+            cond = e if cond is None else cond & e
+        sel = [F.coalesce(F.col(f"a.{c}"), F.col(f"b.{c}")).alias(c) for c in self.group_cols]
+        sel += [F.col(f"a.{c}").alias(c) for c in a.columns if c not in self.group_cols]
+        sel += [F.col(f"b.{c}").alias(c) for c in b.columns if c not in self.group_cols]
+        return al.join(bl, cond, "full_outer").select(*sel)
+
     def _sketch(self, images: DataFrame) -> DataFrame:
         """One sketch-state row per group over a batch of images.  The
         JVM side (count + HLL) and the Python side (MRL quantiles) each
@@ -138,7 +119,7 @@ class SketchView:
                 return pd.DataFrame(row)
 
             qs = images.select(*g, qcol).groupBy(*g).applyInPandas(_build, schema)
-            out = out.join(qs, g, "full_outer")
+            out = self._join_state(out, qs)
         return out
 
     def _merge(self, parts: DataFrame) -> DataFrame:
@@ -165,7 +146,7 @@ class SketchView:
                 return pd.DataFrame(row)
 
             qs = parts.select(*g, "qsk").groupBy(*g).applyInPandas(_fold, schema)
-            out = out.join(qs, g, "full_outer")
+            out = self._join_state(out, qs)
         return out
 
     # ------------------------------------------------------- maintenance
@@ -174,10 +155,7 @@ class SketchView:
         version (images superseded before the view existed were never
         observable), then advance by the image stream."""
         snap = self.main.current_snapshot()
-        os.makedirs(self.root, exist_ok=True)
-        for d in os.listdir(self.root):
-            if d.startswith("v"):
-                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        self._wipe_artifacts()
         self._publish(self._sketch(self.main.read(snap=snap)), snap.version)
         return {"synced_version": snap.version, "full_build": True}
 

@@ -194,9 +194,12 @@ def _bloom_build(values, m: int) -> dict | None:
     for v in values:
         key = _bloom_key_bytes(v)
         if key is None:
-            if v is not None and not isinstance(v, bool):
-                return None  # unsupported type: no bloom at all
-            continue  # NULLs never match an equality predicate
+            if v is None:
+                continue  # NULLs never match an equality predicate
+            # unsupported type (bool, float, ...): NO bloom at all — an
+            # empty bloom would "prove" absence and wrongly prune files
+            # whose rows can match under the engine's value coercions
+            return None
         keys.append(key)
     if keys:
         digs = b"".join(hashlib.blake2b(k, digest_size=16).digest() for k in keys)
@@ -412,6 +415,34 @@ def _overlaps(stats: dict | None, bounds: dict) -> bool:
         except TypeError:
             continue
     return True
+
+
+def _eq_all_bounds(bounds: dict, eq: dict) -> dict:
+    """Predicate set for min/max pruning: an equality is also a
+    degenerate range; explicit bounds on the same column win the merge
+    (both are re-applied as filters, so pruning may use either soundly)."""
+    return {**{c: (v, v) for c, v in eq.items()}, **bounds}
+
+
+def _keep_stats(stats: dict | None, all_bounds: dict, eq: dict) -> bool:
+    """Shared keep predicate for entry-/file-level stats under a
+    conjunction of range bounds + eq probes (zone maps + blooms).
+    One definition so every pruned read path agrees."""
+    if not _overlaps(stats, all_bounds):
+        return False
+    st = stats or {}
+    return all(_bloom_may_contain((st.get(c) or {}).get("bloom"), v) for c, v in eq.items())
+
+
+def _keep_file(
+    name: str, fst: dict, file_blooms: dict, all_bounds: dict, eq: dict
+) -> bool:
+    """Per-file keep: footer min/max from the manifest + the file's
+    sidecar bloom (missing sidecar/bloom keeps — conservative)."""
+    if not _overlaps(fst.get(name), all_bounds):
+        return False
+    nb = file_blooms.get(name) or {}
+    return all(_bloom_may_contain(nb.get(c), v) for c, v in eq.items())
 
 
 def _sortable_proxy(df: DataFrame, col: str) -> Column:
@@ -1098,6 +1129,21 @@ class LakeTable:
             lineage = {**(lineage or {}), "touched_buckets": len(touched_buckets)}
         base_schema_id, base_schema_json = snap.current_schema_id, snap.current_schema_json()
         base_layout = (snap.n_buckets, tuple(snap.key_cols), tuple(snap.order_cols))
+        # Footer stats + blooms are pure functions of the already-written
+        # (immutable) delta dirs — computed ONCE, outside the CAS retry
+        # loop, so a rebased attempt never re-reads data pages or
+        # rewrites sidecars.
+        dir_stats: dict[int, tuple[dict, dict]] = {}
+        for b in touched_buckets:
+            bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+            if os.path.isdir(bdir):
+                fst = _file_stats(bdir, self._stat_cols(snap))
+                stats = _agg_stats(fst)
+                for c, bl in _write_dir_blooms(
+                    bdir, self._bloom_cols(snap), self._bloom_bits(snap)
+                ).items():
+                    stats.setdefault(c, {})["bloom"] = bl
+                dir_stats[int(b)] = (fst, stats)
         for _attempt in range(max_retries):
             if snap.is_applied(epoch):
                 # competing writer applied it; our dir is a vacuumable orphan
@@ -1120,20 +1166,18 @@ class LakeTable:
                 schema_json[schema_id] = new_schema.json()
             buckets = {b: list(files) for b, files in snap.buckets.items()}
             for b in touched_buckets:
-                bdir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
-                if os.path.isdir(bdir):
+                if int(b) in dir_stats:
                     # delta entries are NOT resolved (final-state reads
                     # must take the whole bucket — stale-image trap), but
                     # RAW reads (read_images_where / read_since_lsn
                     # planning) prune per file, so multi-file delta dirs
                     # record per-file stats too
-                    fst = _file_stats(bdir, self._stat_cols(snap))
-                    stats = _agg_stats(fst)
-                    for c, bl in _write_dir_blooms(
-                        bdir, self._bloom_cols(snap), self._bloom_bits(snap)
-                    ).items():
-                        stats.setdefault(c, {})["bloom"] = bl
-                    e = {"path": bdir, "schema_id": schema_id, "stats": stats}
+                    fst, stats = dir_stats[int(b)]
+                    e = {
+                        "path": os.path.join(out_dir, f"{BUCKET_COL}={b}"),
+                        "schema_id": schema_id,
+                        "stats": stats,
+                    }
                     if len(fst) > 1:
                         e["fstats"] = fst
                     buckets.setdefault(str(b), []).append(e)
@@ -1301,30 +1345,19 @@ class LakeTable:
           let a stale in-bounds delta image surface.  All-or-nothing
           only."""
         eq = dict(eq or {})
-        # an equality predicate is also a degenerate range for min/max
-        # pruning; explicit bounds on the same column win the merge (both
-        # are re-applied as filters, so pruning may use either soundly)
-        all_bounds = {**{c: (v, v) for c, v in eq.items()}, **bounds}
-
-        def _keep(stats: dict | None) -> bool:
-            if not _overlaps(stats, all_bounds):
-                return False
-            st = stats or {}
-            return all(
-                _bloom_may_contain((st.get(c) or {}).get("bloom"), v) for c, v in eq.items()
-            )
+        all_bounds = _eq_all_bounds(bounds, eq)
 
         clean: dict[str, list[str]] = {}
         dirty: list[int] = []
         pruned_files = pruned_buckets = 0
         for b, files in snap.buckets.items():
-            if not any(_keep(f.get("stats")) for f in files):
+            if not any(_keep_stats(f.get("stats"), all_bounds, eq) for f in files):
                 pruned_buckets += 1
                 pruned_files += sum(len(f.get("fstats") or [1]) for f in files)
                 continue
             if all(f.get("resolved") for f in files):
                 for f in files:
-                    if not _keep(f.get("stats")):
+                    if not _keep_stats(f.get("stats"), all_bounds, eq):
                         pruned_files += len(f.get("fstats") or [1])
                         continue
                     fst = f.get("fstats")
@@ -1333,16 +1366,9 @@ class LakeTable:
                         # loaded lazily — only for surviving entries, only
                         # under an eq probe ({} = keep, conservative)
                         fb = _read_dir_blooms(f["path"]) if eq else {}
-
-                        def _keep_file(n: str) -> bool:
-                            if not _keep(fst[n]):
-                                return False
-                            nb = fb.get(n) or {}
-                            return all(
-                                _bloom_may_contain(nb.get(c), v) for c, v in eq.items()
-                            )
-
-                        kept = [n for n in sorted(fst) if _keep_file(n)]
+                        kept = [
+                            n for n in sorted(fst) if _keep_file(n, fst, fb, all_bounds, eq)
+                        ]
                         pruned_files += len(fst) - len(kept)
                         clean.setdefault(f["schema_id"], []).extend(
                             os.path.join(f["path"], n) for n in kept
@@ -1434,35 +1460,22 @@ class LakeTable:
         only files that may contain the value."""
         bounds = dict(bounds or {})
         eq = dict(eq or {})
-        all_bounds = {**{c: (v, v) for c, v in eq.items()}, **bounds}
-
-        def _keep(stats: dict | None) -> bool:
-            if not _overlaps(stats, all_bounds):
-                return False
-            st = stats or {}
-            return all(
-                _bloom_may_contain((st.get(c) or {}).get("bloom"), v) for c, v in eq.items()
-            )
+        all_bounds = _eq_all_bounds(bounds, eq)
 
         snap = snap or self.current_snapshot()
         cur_schema = self.schema(snap)
         by_schema: dict[str, list[str]] = {}
         for files in snap.buckets.values():
             for f in files:
-                if not _keep(f.get("stats")):
+                if not _keep_stats(f.get("stats"), all_bounds, eq):
                     continue
                 fst = f.get("fstats")
                 if fst:
                     fb = _read_dir_blooms(f["path"]) if eq else {}
-
-                    def _keep_file(n: str) -> bool:
-                        if not _overlaps(fst[n], all_bounds):
-                            return False
-                        nb = fb.get(n) or {}
-                        return all(_bloom_may_contain(nb.get(c), v) for c, v in eq.items())
-
                     by_schema.setdefault(f["schema_id"], []).extend(
-                        os.path.join(f["path"], n) for n in sorted(fst) if _keep_file(n)
+                        os.path.join(f["path"], n)
+                        for n in sorted(fst)
+                        if _keep_file(n, fst, fb, all_bounds, eq)
                     )
                 else:
                     by_schema.setdefault(f["schema_id"], []).append(f["path"])

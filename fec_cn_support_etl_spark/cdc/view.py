@@ -50,23 +50,72 @@ from pyspark.sql import functions as F
 
 from .table import LakeTable
 
-_MARKER = "_VIEW.json"
-
-
 class ViewStale(RuntimeError):
     """The view's last-synced snapshot no longer exists (vacuumed away);
     the caller must rebuild with ``create``."""
 
 
-class IncrementalAggView:
+class MarkerStateView:
+    """Shared state machinery for incrementally-maintained view
+    artifacts: one parquet dir per synced version plus an atomically
+    renamed JSON marker (``MARKER``), so a crashed refresh re-runs
+    idempotently and a reader never sees a half-written view.
+    Subclasses set ``spark`` and ``root`` in their __init__."""
+
+    MARKER = "_VIEW.json"
+
+    spark: SparkSession
+    root: str
+
+    def _marker_path(self) -> str:
+        return os.path.join(self.root, self.MARKER)
+
+    def _state(self) -> dict:
+        with open(self._marker_path()) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return os.path.exists(self._marker_path())
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self._state()["dir"])
+
+    def synced_version(self) -> int:
+        return int(self._state()["synced_version"])
+
+    def _wipe_artifacts(self) -> None:
+        """Drop remnants of a prior build (full-rebuild path)."""
+        os.makedirs(self.root, exist_ok=True)
+        for d in os.listdir(self.root):
+            if d.startswith("v"):
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+    def _publish(self, df: DataFrame, version: int) -> None:
+        out = os.path.join(self.root, f"v{version}")
+        df.write.mode("overwrite").parquet(out)
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"synced_version": version, "dir": out}, f)
+        os.replace(tmp, self._marker_path())
+        # keep the published dir plus one predecessor (a reader holding
+        # the previous marker finishes safely); older artifacts go
+        vdirs = sorted(
+            (d for d in os.listdir(self.root) if d.startswith("v") and d[1:].isdigit()),
+            key=lambda d: int(d[1:]),
+        )
+        for d in vdirs[:-2]:
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+
+class IncrementalAggView(MarkerStateView):
     """Grouped COUNT(*) + SUM(cols) over a LakeTable's live rows,
     maintained incrementally from the table's change feed.
 
     View state is a small derived artifact (group cardinality, not row
-    cardinality), stored as one parquet dir per synced version plus an
-    atomically-renamed JSON marker — single-maintainer by design (the
-    upstream table already serializes writers; a second maintainer
-    would just race to produce the identical artifact).
+    cardinality), stored per :class:`MarkerStateView` — single-
+    maintainer by design (the upstream table already serializes
+    writers; a second maintainer would just race to produce the
+    identical artifact).
     """
 
     def __init__(
@@ -99,40 +148,6 @@ class IncrementalAggView:
                     "decimal columns — cast the column or aggregate it as decimal"
                 )
 
-    # ------------------------------------------------------------ state
-    def _marker_path(self) -> str:
-        return os.path.join(self.root, _MARKER)
-
-    def _state(self) -> dict:
-        with open(self._marker_path()) as f:
-            return json.load(f)
-
-    def _publish(self, df: DataFrame, version: int) -> None:
-        out = os.path.join(self.root, f"v{version}")
-        df.write.mode("overwrite").parquet(out)
-        tmp = self._marker_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"synced_version": version, "dir": out}, f)
-        os.replace(tmp, self._marker_path())
-        # keep the published dir plus one predecessor (a reader holding
-        # the previous marker finishes safely); older artifacts go
-        vdirs = sorted(
-            (d for d in os.listdir(self.root) if d.startswith("v") and d[1:].isdigit()),
-            key=lambda d: int(d[1:]),
-        )
-        for d in vdirs[:-2]:
-            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
-
-    def exists(self) -> bool:
-        return os.path.exists(self._marker_path())
-
-    def read(self) -> DataFrame:
-        st = self._state()
-        return self.spark.read.parquet(st["dir"])
-
-    def synced_version(self) -> int:
-        return int(self._state()["synced_version"])
-
     # ------------------------------------------------------- maintenance
     def _contrib(self, df: DataFrame, sign: int) -> DataFrame:
         aggs = [F.sum(F.lit(sign)).alias("n_rows")] + [
@@ -144,10 +159,7 @@ class IncrementalAggView:
         """Full build at the table's current version (the one full scan
         the view ever pays; every later sync is delta-sized)."""
         snap = self.main.current_snapshot()
-        os.makedirs(self.root, exist_ok=True)
-        for d in os.listdir(self.root):  # drop remnants of a prior build
-            if d.startswith("v"):
-                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        self._wipe_artifacts()
         self._publish(self._contrib(self.main.read(snap=snap), +1), snap.version)
         return {"synced_version": snap.version, "full_build": True}
 

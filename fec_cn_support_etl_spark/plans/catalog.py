@@ -3385,8 +3385,13 @@ def heavy_hitters_guaranteed(spark, sf_dir):
             )
         ).alias("item"),
     )
+    n_shards = 8  # ONE constant: the summary geometry AND the shard
+    # re-derivation for the guarantee bound below must agree, or the
+    # theorem check silently tests against the wrong shard's tail
     parts = [
-        hh_summary(grams.filter(F.col("doc_id") % 2 == b), ["source"], "item", n_shards=8, keep=64)
+        hh_summary(
+            grams.filter(F.col("doc_id") % 2 == b), ["source"], "item", n_shards=n_shards, keep=64
+        )
         for b in (0, 1)
     ]
     kept, tail = hh_merge(parts, ["source"])
@@ -3400,7 +3405,7 @@ def heavy_hitters_guaranteed(spark, sf_dir):
         "source", F.col(HH_SHARD_COL).alias("__shard"), F.col("tail_max").alias("__tb")
     )
     exact = (
-        exact.withColumn("__shard", F.pmod(F.xxhash64(F.col("item")), F.lit(8)))
+        exact.withColumn("__shard", F.pmod(F.xxhash64(F.col("item")), F.lit(n_shards)))
         .join(F.broadcast(bound), ["source", "__shard"], "left")
         .withColumn("__tb", F.coalesce(F.col("__tb"), F.lit(0)))
     )

@@ -247,3 +247,38 @@ def test_raw_image_eq_probe_over_base_and_deltas(spark, tmp_path):
     # parity with the unpruned raw read
     unpruned = t.read_images_where({}, snap=snap).filter(F.col("v") == old)
     assert sorted(map(tuple, imgs_old.collect())) == sorted(map(tuple, unpruned.collect()))
+
+
+def test_boolean_bloom_col_records_no_bloom(spark, tmp_path):
+    """Booleans are NOT bloom-indexable: an empty bloom would 'prove'
+    absence for any probe and silently drop matching rows; the column
+    must record no bloom at all (conservative — never prunes)."""
+    assert _bloom_build([True, False, True], 256) is None
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "lake-bool"),
+        schema,
+        key_cols=["id"],
+        n_buckets=2,
+        order_cols=["lsn"],
+        props={"bloom_cols": "flag"},
+    )
+    df = (
+        spark.range(20)
+        .select(F.col("id"), (F.col("id") % 2 == 0).alias("flag"), F.col("id").alias("lsn"))
+        .withColumn(BUCKET_COL, bucket_expr(["id"], 2))
+    )
+    t.commit_merge(df, [0, 1], epoch="0")
+    snap = t.current_snapshot()
+    entries = [f for fs in snap.buckets.values() for f in fs]
+    assert all("bloom" not in (f.get("stats") or {}).get("flag", {}) for f in entries)
+    _, _, _, pb = t._plan_pruned_scan({}, snap, eq={"flag": True})
+    assert pb == 0  # nothing pruned
+    assert t.read_where(eq={"flag": True}, snap=snap).count() == 10

@@ -110,3 +110,61 @@ def test_quantile_only_and_distinct_only_configs(spark, wal, tmp_path):
     assert {"lang", "n_rows", "approx_distinct"} <= set(out2.columns)
     with pytest.raises(ValueError):
         SketchView(spark, t, str(tmp_path / "vx"), ["lang"])
+
+
+def test_null_group_key_stays_one_complete_row(spark, tmp_path):
+    """A NULL group key must produce ONE state row carrying n_rows, hll
+    AND qsk (null-unsafe joins would split it into two mutually-
+    incomplete rows and break the exact n_rows contract)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from fec_cn_support_etl_spark.cdc.table import BUCKET_COL, LakeTable, bucket_expr
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.LongType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("_deleted", T.BooleanType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake-null"), schema, key_cols=["id"], n_buckets=2, order_cols=["lsn"]
+    )
+    df = (
+        spark.range(40)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 4 == 0, F.lit(None).cast("string")).otherwise(F.lit("a")).alias("grp"),
+            (F.col("id") * 3).alias("val"),
+            F.col("id").alias("lsn"),
+            F.lit(False).alias("_deleted"),
+        )
+        .withColumn(BUCKET_COL, bucket_expr(["id"], 2))
+    )
+    t.commit_merge(df, [0, 1], epoch="0")
+    v = SketchView(
+        spark, t, str(tmp_path / "view-null"), ["grp"], distinct_col="val", quantile_col="val"
+    )
+    v.create()
+    # one more epoch touching both groups, then refresh through _merge
+    upd = (
+        spark.range(40, 60)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 4 == 0, F.lit(None).cast("string")).otherwise(F.lit("a")).alias("grp"),
+            (F.col("id") * 3).alias("val"),
+            F.col("id").alias("lsn"),
+            F.lit(False).alias("_deleted"),
+        )
+        .withColumn(BUCKET_COL, bucket_expr(["id"], 2))
+    )
+    t.commit_append_delta(upd, None, epoch="1")
+    v.refresh()
+    rows = v.estimates([0.5]).collect()
+    by_grp = {r["grp"]: r for r in rows}
+    assert len(rows) == 2 and None in by_grp  # exactly one row per group
+    assert by_grp[None]["n_rows"] == 15 and by_grp["a"]["n_rows"] == 45
+    assert by_grp[None]["q50"] is not None and by_grp[None]["approx_distinct"] > 0
