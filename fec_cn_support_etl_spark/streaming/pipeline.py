@@ -58,9 +58,11 @@ def stream_cdc_ingest(
     a whole epoch, so regrouping WAL files across triggers cannot
     change the final state (digest equality is test-pinned).
 
-    ``view``: an ``cdc.view.IncrementalAggView`` over ``table`` —
-    refreshed after each applied micro-batch, so the derived aggregate
-    advances by the batch's change-feed delta inside the same trigger
+    ``view``: any refreshable view over ``table`` — an exact
+    ``cdc.view.IncrementalAggView`` or a ``cdc.sketch_view.SketchView``
+    (rolling HLL/quantile state over the image stream) — refreshed
+    after each applied micro-batch, so the derived aggregate advances
+    by the batch's change-feed delta inside the same trigger
     (continuous materialized-view maintenance). Idempotence composes:
     a re-delivered batch is a manifest no-op and ``refresh`` is a pure
     catch-up to the table's current version (no-op at head), so crash

@@ -371,3 +371,47 @@ def test_stream_enrich_sees_live_dimension_versions(spark, tmp_path):
     # restart with nothing new: no duplicate or rewritten outputs
     drain()
     assert read_enriched(spark, sink).count() == 40
+
+
+def test_stream_maintains_sketch_view(spark, wal, tmp_path):
+    """CDC -> rolling sketch state, continuously: a SketchView attached
+    to the stream advances with every micro-batch; at drain the exact
+    n_rows equals the image-stream count and the HLL estimate tracks
+    the true distinct count — without ever rescanning the table."""
+    from pyspark.sql import functions as F
+
+    from fec_cn_support_etl_spark.cdc.sketch_view import SketchView
+
+    stream_dir = str(tmp_path / "stream")
+    table = LakeTable.create(
+        spark, stream_dir, runner.TABLE_SCHEMA, key_cols=["repo", "path"],
+        n_buckets=8, order_cols=["lsn"],
+    )
+    view = SketchView(
+        spark, table, str(tmp_path / "sview"), ["lang"], distinct_col="path", quantile_col="lsn"
+    )
+    view.create()  # empty table -> empty state at v0
+    q = stream_cdc_ingest(spark, wal, table, str(tmp_path / "ckpt"), mode="mor", view=view)
+    q.awaitTermination()
+    assert view.synced_version() == table.current_snapshot().version
+
+    # ground truth: the full upsert image stream from v0
+    imgs = (
+        table.read_changes(0)
+        .filter(F.col("_change_type") == "upsert")
+        .select("lang", "path", "lsn")
+        .toPandas()
+    )
+    est = view.estimates([0.5]).toPandas().set_index("lang")
+    assert set(est.index) == set(imgs["lang"].unique())
+    for lang, grp in imgs.groupby("lang"):
+        row = est.loc[lang]
+        assert int(row["n_rows"]) == len(grp), lang
+        exact_d = grp["path"].nunique()
+        assert abs(row["approx_distinct"] - exact_d) <= max(1, 0.05 * exact_d), lang
+
+    # checkpoint restart with no new files: state untouched
+    v_synced = view.synced_version()
+    q2 = stream_cdc_ingest(spark, wal, table, str(tmp_path / "ckpt"), mode="mor", view=view)
+    q2.awaitTermination()
+    assert view.synced_version() == v_synced
