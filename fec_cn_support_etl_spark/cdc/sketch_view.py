@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.heavyhitters import SHARD_COL as HH_SHARD_COL
 from ..operators.qsketch import DEFAULT_K, QuantileSketch
 from .table import LakeTable
 from .view import MarkerStateView, ViewStale
@@ -214,3 +215,132 @@ class SketchView(MarkerStateView):
                 df = df.withColumn(lbl, _q_udf(q)("qsk"))
             cols.extend(labels)
         return df.select(*cols)
+
+
+class HeavyHittersView(MarkerStateView):
+    """Per-group heavy-hitters summary over a LakeTable's image stream,
+    maintained incrementally — the third member of the mergeable trio
+    next to :class:`SketchView`'s HLL + quantile state.
+
+    State is the bounded (kept, tail) summary of
+    ``operators/heavyhitters.py`` — per (group, item-hash shard) the
+    exact top-``keep`` item counts plus one tail bound for everything
+    dropped, <= n_shards*(keep+1) rows per group regardless of item
+    cardinality.  A refresh builds the new images' summary and
+    ``hh_merge``-folds it into the stored one (merge is associative and
+    closed, so continuous maintenance is exactly a rolling
+    epoch-rollup).  Both frames persist as ONE parquet artifact with a
+    ``kind`` discriminator ('kept'/'tail') under the shared
+    versioned-marker protocol.
+
+    ``heavy_hitters(threshold)`` decodes guaranteed candidates with the
+    same derived two-sided bounds the batch query proves
+    (plans/catalog.py::heavy_hitters_guaranteed): every item whose true
+    image-stream count exceeds its shard's summed tail bound IS present
+    with ``cnt_lb <= true <= cnt_lb + err_ub``.
+    """
+
+    MARKER = "_HH_VIEW.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        main: LakeTable,
+        root: str,
+        group_cols: list[str],
+        item_col: str,
+        n_shards: int = 8,
+        keep: int = 64,
+    ):
+        self.spark = spark
+        self.main = main
+        self.root = root
+        self.group_cols = list(group_cols)
+        self.item_col = item_col
+        self.n_shards = int(n_shards)
+        self.keep = int(keep)
+
+    # ------------------------------------------------------------ codec
+    def _pack(self, kept: DataFrame, tail: DataFrame) -> DataFrame:
+        k = kept.select(
+            F.lit("kept").alias("kind"),
+            *self.group_cols,
+            F.col(HH_SHARD_COL).alias("shard"),
+            "item",
+            "cnt",
+            F.coalesce(F.col("n_epochs_kept"), F.lit(1)).alias("n_epochs_kept")
+            if "n_epochs_kept" in kept.columns
+            else F.lit(1).alias("n_epochs_kept"),
+            F.lit(None).cast("long").alias("tail_max"),
+            F.lit(None).cast("long").alias("tail_mass"),
+        )
+        t = tail.select(
+            F.lit("tail").alias("kind"),
+            *self.group_cols,
+            F.col(HH_SHARD_COL).alias("shard"),
+            F.lit(None).cast("string").alias("item"),
+            F.lit(None).cast("long").alias("cnt"),
+            F.lit(None).cast("long").alias("n_epochs_kept"),
+            F.col("tail_max").cast("long").alias("tail_max"),
+            F.col("tail_mass").cast("long").alias("tail_mass"),
+        )
+        return k.unionByName(t)
+
+    def _unpack(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        g = self.group_cols
+        kept = df.filter(F.col("kind") == "kept").select(
+            *g, F.col("shard").alias(HH_SHARD_COL), "item", "cnt", "n_epochs_kept"
+        )
+        tail = df.filter(F.col("kind") == "tail").select(
+            *g, F.col("shard").alias(HH_SHARD_COL), "tail_max", "tail_mass"
+        )
+        return kept, tail
+
+    # ------------------------------------------------------- maintenance
+    def _summary(self, images: DataFrame) -> tuple[DataFrame, DataFrame]:
+        from ..operators.heavyhitters import hh_summary
+
+        return hh_summary(images, self.group_cols, self.item_col, self.n_shards, self.keep)
+
+    def create(self) -> dict:
+        snap = self.main.current_snapshot()
+        self._wipe_artifacts()
+        self._publish(self._pack(*self._summary(self.main.read(snap=snap))), snap.version)
+        return {"synced_version": snap.version, "full_build": True}
+
+    def refresh(self) -> dict:
+        from ..operators.heavyhitters import hh_merge, hh_truncate
+
+        st = self._state()
+        from_v = int(st["synced_version"])
+        snap = self.main.current_snapshot()
+        to_v = snap.version
+        if to_v == from_v:
+            return {"from": from_v, "to": to_v, "noop": True}
+        try:
+            changes = self.main.read_changes(from_v, to_v)
+        except FileNotFoundError as exc:
+            raise ViewStale(
+                f"change-feed range v{from_v}..v{to_v} is no longer fully retained; "
+                "rebuild with create()"
+            ) from exc
+        images = changes.filter(F.col("_change_type") == "upsert").drop(
+            "_change_type", "_commit_version"
+        )
+        merged = hh_merge([self._unpack(self.read()), self._summary(images)], self.group_cols)
+        # SpaceSaving re-truncation: without it, state grows by up to
+        # `keep` rows per shard per refresh (hh_merge keeps the union);
+        # with it the view is O(n_shards * keep) per group FOREVER, and
+        # the dropped counts fold into the tail bound soundly.
+        merged = hh_truncate(*merged, self.group_cols, self.keep)
+        self._publish(self._pack(*merged), to_v)
+        return {"from": from_v, "to": to_v, "noop": False}
+
+    # --------------------------------------------------------- estimates
+    def heavy_hitters(self, threshold: int) -> DataFrame:
+        """Guaranteed-candidate heavy hitters of the image stream with
+        two-sided bounds, decoded from the maintained state — no table
+        access."""
+        from ..operators.heavyhitters import heavy_hitters
+
+        return heavy_hitters(*self._unpack(self.read()), self.group_cols, threshold)

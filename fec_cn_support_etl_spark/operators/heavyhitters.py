@@ -150,3 +150,49 @@ def heavy_hitters(
         .select(*g, "item", F.col("cnt").alias("cnt_lb"), "err_ub")
     )
     return out
+
+
+def hh_truncate(
+    kept: DataFrame,
+    tail: DataFrame,
+    group_cols: Sequence[str],
+    keep: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-truncate a MERGED summary back to ``keep`` items per (group,
+    shard), folding the dropped items into the tail bound — the
+    SpaceSaving merge step that keeps a ROLLING summary's state bounded
+    forever (plain ``hh_merge`` keeps the union of per-epoch kept sets,
+    which grows with epoch count).
+
+    Soundness: a dropped item's merged cnt is a lower bound of its true
+    count and its undercount is at most the pre-truncation ``tail_max``,
+    so true <= cnt + tail_max <= new tail_max (= old + max dropped cnt).
+    Completeness is preserved: an item whose true count exceeds the
+    summed tail bound can never be dropped (at the moment of dropping,
+    its true count is bounded by the new tail_max).  The price is that
+    kept counts become LOWER bounds after an item is dropped and
+    re-enters — exactly classic SpaceSaving semantics; the decode's
+    [cnt_lb, cnt_lb + err_ub] interval already accounts for it."""
+    g = list(group_cols)
+    w = Window.partitionBy(*g, SHARD_COL).orderBy(F.desc("cnt"), F.asc("item"))
+    ranked = kept.withColumn("__rn", F.row_number().over(w))
+    new_kept = ranked.filter(F.col("__rn") <= keep).drop("__rn")
+    dropped = (
+        ranked.filter(F.col("__rn") > keep)
+        .groupBy(*g, SHARD_COL)
+        .agg(F.max("cnt").alias("__dmax"), F.sum("cnt").alias("__dmass"))
+    )
+    new_tail = (
+        tail.join(dropped, [*g, SHARD_COL], "full_outer")
+        .select(
+            *g,
+            SHARD_COL,
+            (F.coalesce(F.col("tail_max"), F.lit(0)) + F.coalesce(F.col("__dmax"), F.lit(0)))
+            .cast("long")
+            .alias("tail_max"),
+            (F.coalesce(F.col("tail_mass"), F.lit(0)) + F.coalesce(F.col("__dmass"), F.lit(0)))
+            .cast("long")
+            .alias("tail_mass"),
+        )
+    )
+    return new_kept, new_tail

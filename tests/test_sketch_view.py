@@ -168,3 +168,75 @@ def test_null_group_key_stays_one_complete_row(spark, tmp_path):
     assert len(rows) == 2 and None in by_grp  # exactly one row per group
     assert by_grp[None]["n_rows"] == 15 and by_grp["a"]["n_rows"] == 45
     assert by_grp[None]["q50"] is not None and by_grp[None]["approx_distinct"] > 0
+
+
+def test_heavy_hitters_view_tracks_image_stream(spark, tmp_path):
+    """HeavyHittersView: the maintained bounded summary must decode a
+    SUPERSET of the true image-stream heavy hitters above the derived
+    guarantee threshold, with sound two-sided bounds — the batch
+    catalog query's contract, now rolling with SpaceSaving
+    re-truncation keeping state O(n_shards*keep) forever."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from fec_cn_support_etl_spark.cdc.sketch_view import HeavyHittersView
+    from fec_cn_support_etl_spark.cdc.table import BUCKET_COL, LakeTable, bucket_expr
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("_deleted", T.BooleanType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake-hh"), schema, key_cols=["id"], n_buckets=4, order_cols=["lsn"]
+    )
+
+    def batch(lo, hi):
+        # one HOT item per group (1/3 of rows) over a 97-item cold tail
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.col("id"),
+                (F.col("id") % 2).cast("string").alias("grp"),
+                F.when(F.col("id") % 3 == 0, F.lit("hot"))
+                .otherwise(F.concat(F.lit("i"), (F.col("id") % 97).cast("string")))
+                .alias("item"),
+                F.col("id").alias("lsn"),
+                F.lit(False).alias("_deleted"),
+            )
+            .withColumn(BUCKET_COL, bucket_expr(["id"], 4))
+        )
+
+    t.commit_merge(batch(0, 4000), [0, 1, 2, 3], epoch="0")
+    v = HeavyHittersView(spark, t, str(tmp_path / "vhh"), ["grp"], "item", n_shards=4, keep=8)
+    v.create()
+    t.commit_append_delta(batch(4000, 8000), None, epoch="1")
+    assert not v.refresh()["noop"]
+    t.commit_append_delta(batch(8000, 12000), None, epoch="2")
+    assert not v.refresh()["noop"]
+    assert v.synced_version() == t.current_snapshot().version
+
+    # state is bounded FOREVER: <= keep kept rows per (group, shard)
+    state = v.read().toPandas()
+    per = state[state["kind"] == "kept"].groupby(["grp", "shard"]).size()
+    assert per.max() <= 8
+
+    # unique keys -> image stream == live rows; exact counts
+    truth = t.read().select("grp", "item").toPandas()
+    true_counts = truth.groupby(["grp", "item"]).size()
+
+    tail = state[state["kind"] == "tail"]
+    thr = int(tail.groupby(["grp", "shard"])["tail_max"].max().max()) + 1
+    got = v.heavy_hitters(thr).toPandas()
+    decoded = {(r["grp"], r["item"]): (r["cnt_lb"], r["err_ub"]) for _, r in got.iterrows()}
+    want = {k for k, c in true_counts.items() if c >= thr}
+    assert {k[1] for k in want} == {"hot"}, (thr, sorted(want))
+    missed = want - set(decoded)
+    assert not missed, f"missed guaranteed heavy hitters: {sorted(missed)[:5]}"
+    for k, (lb, err) in decoded.items():
+        if k in true_counts.index:
+            assert lb <= true_counts[k] <= lb + err, k
