@@ -214,6 +214,22 @@ def _bloom_build(values, m: int) -> dict | None:
     return {"m": m, "k": _BLOOM_K, "b64": base64.b64encode(bits).decode("ascii")}
 
 
+def _bloom_probe_type_ok(dtype, value) -> bool:
+    """True when an eq probe literal's Python type matches the column's
+    Spark type, i.e. the bloom's canonical encoding and the probe's
+    agree byte-for-byte. Unknown column / unsupported type -> False
+    (callers then skip the bloom test — conservative keep)."""
+    if dtype is None or isinstance(value, bool):
+        return False
+    if isinstance(value, int):
+        return isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    if isinstance(value, str):
+        return isinstance(dtype, T.StringType)
+    if isinstance(value, bytes):
+        return isinstance(dtype, T.BinaryType)
+    return False
+
+
 def _bloom_may_contain(bloom: dict | None, value) -> bool:
     """False only on a PROVEN miss; any malformed/missing bloom or
     un-encodable probe value keeps the file (conservative)."""
@@ -1346,18 +1362,32 @@ class LakeTable:
           only."""
         eq = dict(eq or {})
         all_bounds = _eq_all_bounds(bounds, eq)
+        # Bloom probes are only sound when the probe literal's Python
+        # type matches the column's Spark type: the bloom was built over
+        # the column's canonical encodings (e.g. b'0123' for a string
+        # column), while a mismatched probe hashes its own encoding
+        # (b'123' for int 123) — a PROVEN-miss verdict would then prune
+        # files whose rows match under the engine's ANSI coercion in the
+        # re-applied filter (ADVICE r6). Mismatches fall back to
+        # keep-everything for the bloom test; min/max pruning already
+        # keeps on cross-type comparisons via its TypeError guard.
+        schema = self.schema(snap)
+        by_name = {f.name: f.dataType for f in schema.fields}
+        eq_bloom = {
+            c: v for c, v in eq.items() if _bloom_probe_type_ok(by_name.get(c), v)
+        }
 
         clean: dict[str, list[str]] = {}
         dirty: list[int] = []
         pruned_files = pruned_buckets = 0
         for b, files in snap.buckets.items():
-            if not any(_keep_stats(f.get("stats"), all_bounds, eq) for f in files):
+            if not any(_keep_stats(f.get("stats"), all_bounds, eq_bloom) for f in files):
                 pruned_buckets += 1
                 pruned_files += sum(len(f.get("fstats") or [1]) for f in files)
                 continue
             if all(f.get("resolved") for f in files):
                 for f in files:
-                    if not _keep_stats(f.get("stats"), all_bounds, eq):
+                    if not _keep_stats(f.get("stats"), all_bounds, eq_bloom):
                         pruned_files += len(f.get("fstats") or [1])
                         continue
                     fst = f.get("fstats")
@@ -1365,9 +1395,9 @@ class LakeTable:
                         # per-file blooms live in the entry dir's sidecar,
                         # loaded lazily — only for surviving entries, only
                         # under an eq probe ({} = keep, conservative)
-                        fb = _read_dir_blooms(f["path"]) if eq else {}
+                        fb = _read_dir_blooms(f["path"]) if eq_bloom else {}
                         kept = [
-                            n for n in sorted(fst) if _keep_file(n, fst, fb, all_bounds, eq)
+                            n for n in sorted(fst) if _keep_file(n, fst, fb, all_bounds, eq_bloom)
                         ]
                         pruned_files += len(fst) - len(kept)
                         clean.setdefault(f["schema_id"], []).extend(

@@ -102,6 +102,16 @@ class MultiTableTransaction:
         see nothing).  Any ``stage_merge`` kwarg passes through."""
         if self._done:
             raise RuntimeError("transaction already committed or aborted")
+        # One entry per table root: two stages of the same table would
+        # record the SAME base_version twice, so the second publish
+        # deterministically conflicts mid-commit — after the manifest
+        # (= after the commit point), where it poisons recovery
+        # (ADVICE r6). Reject at stage time, while nothing is visible.
+        if any(e["root"] == table.root for e in self._entries):
+            raise ValueError(
+                f"table {table.root} already staged in txn {self.txn_id}; "
+                "merge the epochs into one stage_merge call"
+            )
         name = table.stage_merge(
             new_bucket_data, touched_buckets, epoch, name=f"txn-{self.txn_id}-{epoch}", **kw
         )
@@ -173,7 +183,26 @@ def recover(spark: SparkSession, txn_dir: str) -> list[dict]:
         if doc.get("state") != "pending":
             out.append({"txn_id": txn_id, "state": doc.get("state"), "action": "none"})
             continue
-        results = [_publish_entry(spark, e) for e in doc["tables"]]
-        _write_manifest(txn_dir, txn_id, {"state": "committed", "tables": doc["tables"]})
-        out.append({"txn_id": txn_id, "state": "committed", "action": results})
+        # A poisoned manifest (e.g. a foreign commit landed in the
+        # commit window) must not abort recovery of every LATER pending
+        # manifest: record it as 'stuck' with the error and continue
+        # (ADVICE r6). Entries are still attempted individually so a
+        # partial roll-forward makes as much of the group durable as
+        # the conflict allows; the stuck manifest stays 'pending' for
+        # the operator.
+        results: list[str] = []
+        err: str | None = None
+        for e in doc["tables"]:
+            try:
+                results.append(_publish_entry(spark, e))
+            except CommitConflict as exc:
+                results.append("conflict")
+                err = str(exc)
+        if err is None:
+            _write_manifest(txn_dir, txn_id, {"state": "committed", "tables": doc["tables"]})
+            out.append({"txn_id": txn_id, "state": "committed", "action": results})
+        else:
+            out.append(
+                {"txn_id": txn_id, "state": "stuck", "action": results, "error": err}
+            )
     return out

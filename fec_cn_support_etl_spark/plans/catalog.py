@@ -37,6 +37,7 @@ from ..operators.dedup import (
     exact_dup_groups,
     jaccard_verify,
     minhash_lsh_pairs,
+    minhash_lsh_pruned_pairs,
     minhash_signatures,
     signature_verify,
     simhash_candidates,
@@ -52,7 +53,7 @@ from ..operators.sampling import mix_sources, stratified_sample
 from ..operators.similarity import brute_force_topk, int_centroids, int_planes, ivf_topk, lsh_bucketed_topk
 from ..operators.text import doc_fingerprints, lang_id, quality_score, token_count, bpe_ish_token_estimate
 from ..operators.windows import lww_latest, top1_per_group, topk_per_group
-from ..sources.tpch import load_table
+from ..sources.tpch import load_table, spread
 from . import analog
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -83,6 +84,16 @@ def _q(name: str, sql: str | None = None):
 
 def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
+
+
+def _ts(spark, sf_dir, name="documents"):
+    """Compute-heavy scan: the fixture tables are one file / one row
+    group, so without a spread every pre-shuffle expression (shingle
+    hashing, regex features, hyperplane folds) runs on ONE core
+    (round-7 measurement: 15-20 s single-threaded at sf1.0 for the
+    shingle stage alone). ``spread`` is a no-op whenever the scan
+    already has >= default-parallelism splits — see sources/tpch.py."""
+    return spread(load_table(spark, sf_dir, name))
 
 
 _MONEY = "CAST(ROUND(SUM(CAST({c} AS DECIMAL(18,4))), 2) AS DOUBLE)"
@@ -1342,6 +1353,9 @@ def fec_final_support_analog(spark, sf_dir):
 )
 def dedup_exact_groups(spark, sf_dir):
     """Exact dedup via content digest groups."""
+    # NOT spread (round 7): sha256 of the 12 MB fixture on one core is
+    # cheaper than round-robin-shuffling the text first (0.34s vs 0.98s
+    # measured at sf1.0); the digest groupBy shuffles digests only.
     return exact_dup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
@@ -1359,7 +1373,7 @@ def dedup_exact_groups(spark, sf_dir):
 )
 def text_token_count(spark, sf_dir):
     """Token counting: whitespace + BPE-ish subword estimate."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -1393,7 +1407,7 @@ def text_token_count(spark, sf_dir):
 )
 def text_quality_score(spark, sf_dir):
     """Quality scoring from length/punct/stopword features."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     return quality_score(d, "text").select(
         "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_word_len", "quality"
     )
@@ -1422,7 +1436,7 @@ def text_quality_score(spark, sf_dir):
 def text_lang_id(spark, sf_dir):
     """Marker-word language-ID heuristic (deterministic argmax,
     alphabetical tiebreak)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     return lang_id(d, "text").select("doc_id", "lang", "lang_pred")
 
 
@@ -1444,7 +1458,7 @@ def word_jaccard_pairs(spark, sf_dir):
     """Exact word-set Jaccard similarity join within source groups
     (threshold 0.8, expressed as integer cross-multiply so the oracle
     needs no float compare)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     w = d.select("doc_id", "source", F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("words"))
     a, b = w.alias("a"), w.alias("b")
     inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
@@ -1484,7 +1498,10 @@ def ann_cosine_topk(spark, sf_dir):
     tiebreak so near-ties cannot swap across engines (see _qcos)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    res = brute_force_topk(emb, q, "vec_id", "embedding", "vec_id", "embedding", k=10, rank_scale=1e6)
+    # corpus side spread (round 7): the per-row HOF dot products ran on
+    # the fixture's single scan task; queries stay on the raw scan so
+    # the vec_id<5 predicate pushes down
+    res = brute_force_topk(_ts(spark, sf_dir, "embeddings"), q, "vec_id", "embedding", "vec_id", "embedding", k=10, rank_scale=1e6)
     w = Window.partitionBy("query_id").orderBy(F.desc(_qcos("cosine")), F.asc("id"))
     return res.withColumn("rank", F.row_number().over(w)).select("query_id", "id", "rank")
 
@@ -1605,20 +1622,24 @@ def minhash_neardup_pairs_q(spark, sf_dir):
     0.40/0.45/0.50), so the exact-verify stage stays tiny. Oracle:
     brute-force all-pairs Jaccard. Scale path unchanged: candidates via
     uniform band-hash join, exact verify touches candidates only."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     # (id, int64-shingle) rows feed two consumers — the signature agg and
     # the verify stage's candidate semi-join — so cache them once.
     # MEMORY_AND_DISK of 16-byte rows is fine at fixture scale; at 100 TB
     # you'd re-derive instead (the verify stage's semi-join already
     # restricts to candidate ids before its own cache, dedup.py).
     sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
-    # the signature table is tiny (docs x 48 longs) but feeds THREE plan
-    # branches (band join + both sides of the estimate prune); persisting
-    # it avoids recomputing the shingle scan + 48-min agg per branch
-    # (11.3s -> 4.1s at sf0.1)
+    # the signature table is tiny (docs x 48 longs) but feeds both sides
+    # of the band self-join; persisting it avoids recomputing the
+    # shingle scan + 48-min agg per side
     sig = caching.cache(minhash_signatures(sh, num_hashes=48))
-    cand = minhash_lsh_pairs(sig, bands=16)
-    pruned = signature_verify(cand, sig, threshold=0.45).select("id_a", "id_b")
+    # band join + agreement prune FUSED (round 7): the 178M-candidate
+    # distinct + two signature joins never materialize — see
+    # operators/dedup.py::minhash_lsh_pruned_pairs (125.6s -> measured
+    # in OPTIMIZATION_r07.md at sf1.0). Output identical by
+    # construction: agree >= ceil(0.45*48) = 22 is the same predicate
+    # signature_verify evaluated, applied pre- instead of post-distinct.
+    pruned = minhash_lsh_pruned_pairs(sig, bands=16, num_hashes=48, threshold=0.45)
     return jaccard_verify(pruned, sh, threshold_frac=(4, 5))
 
 
@@ -1640,11 +1661,12 @@ def minhash_neardup_pairs_scale_q(spark, sf_dir):
     actually runs; recall/precision semantics are pinned by
     tests/test_sketch_scale.py and the driver records a rows-only
     check for this entry by design."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
     sig = caching.cache(minhash_signatures(sh, num_hashes=48))
-    cand = minhash_lsh_pairs(sig, bands=8)  # r = 48/8 = 6 hashes per band
-    pruned = signature_verify(cand, sig, threshold=0.45).select("id_a", "id_b")
+    # r = 48/8 = 6 hashes per band; same fused band-join + agree>=22
+    # prune as the guarantee-grade query (round 7)
+    pruned = minhash_lsh_pruned_pairs(sig, bands=8, num_hashes=48, threshold=0.45)
     return jaccard_verify(pruned, sh, threshold_frac=(4, 5))
 
 
@@ -1661,7 +1683,7 @@ def simhash_neardup_pairs_q(spark, sf_dir):
     verify candidates 63.5k -> 2.3k at sf0.1, 28x) -> exact Jaccard
     4/5 on survivors. Same oracle as minhash: the sketch changes the
     plan, not the answer."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     # cached for the same two consumers as in minhash_neardup_pairs_q
     sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
     # docs x 1 long — persisted because the chunk join reads it on
@@ -1703,11 +1725,12 @@ def neardup_clusters_q(spark, sf_dir):
     is_canonical, drop the rest."""
     from ..operators.dedup import neardup_clusters
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
     sig = caching.cache(minhash_signatures(sh, num_hashes=48))
-    cand = minhash_lsh_pairs(sig, bands=16)
-    pruned = signature_verify(cand, sig, threshold=0.45).select("id_a", "id_b")
+    # fused band-join + agree>=22 prune (round 7) — identical pair set,
+    # quadratic candidates never shuffled
+    pruned = minhash_lsh_pruned_pairs(sig, bands=16, num_hashes=48, threshold=0.45)
     pairs = jaccard_verify(pruned, sh, threshold_frac=(4, 5)).select("id_a", "id_b")
     return neardup_clusters(pairs)
 
@@ -1798,8 +1821,9 @@ def ann_lsh_bucketed_topk_q(spark, sf_dir):
     additionally asserted in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
+    # corpus side spread (round 7) — see ann_cosine_topk
     res = lsh_bucketed_topk(
-        emb, q, "vec_id", "embedding", "vec_id", "embedding",
+        _ts(spark, sf_dir, "embeddings"), q, "vec_id", "embedding", "vec_id", "embedding",
         dim=64, k=10, planes=_ANN_PLANES, multiprobe=1, rank_scale=1e6,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(_qcos("cosine")), F.asc("id"))
@@ -1895,8 +1919,9 @@ def ann_ivf_topk_q(spark, sf_dir):
     tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
+    # corpus side spread (round 7) — see ann_cosine_topk
     res = ivf_topk(
-        emb, q, "vec_id", "embedding", "vec_id", "embedding",
+        _ts(spark, sf_dir, "embeddings"), q, "vec_id", "embedding", "vec_id", "embedding",
         centroids=_IVF_CENTROIDS, k=10, nprobe=_IVF_NPROBE, rank_scale=1e6,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(_qcos("cosine")), F.asc("id"))
@@ -1926,7 +1951,7 @@ def embedding_cosine_neardup_q(spark, sf_dir):
     tests/test_similarity.py."""
     from ..operators.similarity import cosine_neardup_exact
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     return cosine_neardup_exact(emb, "vec_id", "embedding", 400200).select("id_a", "id_b")
 
 
@@ -1948,7 +1973,7 @@ def doc_fingerprints_q(spark, sf_dir):
     """Winnowing rolling-hash fingerprints (md5-hex hash: fixed-width
     lowercase hex min == numeric min in every engine, so the window-min
     selection is engine-exact)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = _ts(spark, sf_dir).filter(F.col("doc_id") < 100)
     return doc_fingerprints(d, "doc_id", "text", hash_fn="md5").select(
         F.col("id").alias("doc_id"), "fingerprint"
     )
@@ -2254,7 +2279,7 @@ def curation_pipeline(spark, sf_dir):
     from ..operators.sampling import stratified_sample
     from ..operators.text import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     scored = lang_id(quality_score(d, "text"), "text")
     filt = scored.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
     sampled = stratified_sample(
@@ -2743,7 +2768,7 @@ def ngram_decontaminate(spark, sf_dir):
     SEMI at any scale — the training grams never shuffle.  Real
     pipelines use 8-13-grams; 3 matches this fixture's ~30-word
     vocabulary density."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     w = d.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
     ).filter(F.size("ws") >= 3)
@@ -2789,7 +2814,7 @@ def text_repetition_score(spark, sf_dir):
     doc_id shuffle carries one 5-field partial row per doc per
     partition.  Gram construction is the same single JVM-side
     projection as ngram_decontaminate."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     w = d.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
     ).filter(F.size("ws") >= 2)
@@ -2830,7 +2855,7 @@ def pii_redact(spark, sf_dir):
     redaction regexes — the thing under test — run over real text plus
     the planted matches, and the oracle proves Java-regex vs RE2
     replace parity on both patterns)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     planted = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -2933,7 +2958,7 @@ def pack_sequences(spark, sf_dir):
     crossing the shuffle is (doc_id, tok) — never text.  All outputs
     are integer-exact (token counts, not floats), so the oracle
     comparison is bit-stable."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     t = d.select(
         "doc_id",
         "source",
@@ -2991,7 +3016,7 @@ def word_freq_model_score(spark, sf_dir):
     for the join — the only wide exchange is the per-doc partial-
     combined 4-field rollup; the reference slice is re-read from the
     same single scan."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
@@ -3066,7 +3091,7 @@ def bm25_doc_ranking(spark, sf_dir):
     1-row aggregate CROSS-JOIN-broadcast back (q22's average pattern) —
     no shuffle of the corpus ever happens; top-100 is a
     TakeOrderedAndProject (map-side pruned), never a global sort."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     tok = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
     tf_aggs = [
         F.sum(F.when(F.col("word") == t, 1).otherwise(0)).cast("long").alias(f"tf{i}")
@@ -3310,11 +3335,12 @@ def neardup_soft_dedup(spark, sf_dir):
     stage; the rollup partial-combines."""
     from ..operators.dedup import neardup_clusters
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
     sig = caching.cache(minhash_signatures(sh, num_hashes=48))
-    cand = minhash_lsh_pairs(sig, bands=16)
-    pruned = signature_verify(cand, sig, threshold=0.45).select("id_a", "id_b")
+    # fused band-join + agree>=22 prune (round 7) — identical pair set,
+    # quadratic candidates never shuffled
+    pruned = minhash_lsh_pruned_pairs(sig, bands=16, num_hashes=48, threshold=0.45)
     pairs = jaccard_verify(pruned, sh, threshold_frac=(4, 5)).select("id_a", "id_b")
     memb = neardup_clusters(pairs).select("doc_id", "cluster_id")
     whole = (
@@ -3372,7 +3398,7 @@ def heavy_hitters_guaranteed(spark, sf_dir):
     persist and MERGE, so a rolling vocabulary report never rescans
     history; the exact count here exists only to prove the bounds at
     test scale."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir)
     ws = F.split(F.trim(F.col("text")), r"\s+")
     grams = d.select(
         "source",
@@ -3451,7 +3477,8 @@ def embedding_kmeans_assign(spark, sf_dir):
     cent = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cv")
     )
-    return kmeans_assign(emb, cent, "vec_id", "embedding").select("id", "cluster_id")
+    # corpus side spread (round 7) — see ann_cosine_topk
+    return kmeans_assign(_ts(spark, sf_dir, "embeddings"), cent, "vec_id", "embedding").select("id", "cluster_id")
 
 
 @_q(

@@ -44,6 +44,7 @@ def get_spark(
         else:
             shuffle_partitions = cores
 
+    mem = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -55,7 +56,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", mem)
+        # Pin the initial heap to the max and pre-fault it (round 7):
+        # with the default tiny -Xms, the first allocation-heavy queries
+        # of a session run against a still-growing heap — measured
+        # 28/8.5/9.8/18.5 s for identical back-to-back runs of the
+        # minhash band join at sf1.0, collapsing to a stable
+        # 11.4/7.2/7.8/7.5 s once -Xms=-Xmx + AlwaysPreTouch remove
+        # heap-resize + first-touch page faults from the measurement.
+        # Applies to any driver JVM size (tests run 8g and pre-fault in
+        # ~1 s); on a cluster the same flags go on the executor JVMs.
+        .config("spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch")
         # local mode: shuffle goes through driver disk; keep codegen on.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # v2 committer: task outputs move to the destination at task

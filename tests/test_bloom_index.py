@@ -282,3 +282,24 @@ def test_boolean_bloom_col_records_no_bloom(spark, tmp_path):
     _, _, _, pb = t._plan_pruned_scan({}, snap, eq={"flag": True})
     assert pb == 0  # nothing pruned
     assert t.read_where(eq={"flag": True}, snap=snap).count() == 10
+
+
+def test_bloom_type_mismatched_probe_never_prunes(spark, tmp_path):
+    """ADVICE r6: an eq probe whose Python type mismatches the column's
+    Spark type (int probe on a string column and vice versa) must skip
+    bloom pruning entirely — the bloom hashed the COLUMN type's
+    canonical encoding, so a cross-type probe could prove a false miss
+    while the re-applied ANSI filter would still match rows."""
+    t = _mk(spark, str(tmp_path / "lake-tm"))
+    snap = t.current_snapshot()
+    # v is a string column: an int probe must not prune ANY bucket
+    _, _, pf, pb = t._plan_pruned_scan({}, snap, eq={"v": 123})
+    assert pb == 0 and pf == 0
+    # id is a long column: a string probe must not bloom-prune either
+    # (min/max TypeError guard also keeps)
+    _, _, pf2, pb2 = t._plan_pruned_scan({}, snap, eq={"id": "123"})
+    assert pb2 == 0 and pf2 == 0
+    # and read_where stays exactly read().filter(...) under coercion
+    want = _rows(t.read(snap).filter(F.col("id") == "123"))
+    got = _rows(t.read_where(eq={"id": "123"}, snap=snap))
+    assert want == got

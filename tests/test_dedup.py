@@ -248,3 +248,31 @@ def test_catalog_sweep_releases_sketch_caches(spark):
         gc.collect()
         time.sleep(1)
     assert not leaked, f"sketch caches leaked across queries: rdd ids {leaked}"
+
+
+def test_pruned_pairs_equivalence(spark):
+    """Round-7 fused prune (bit-plane prefilter + exact agreement,
+    pre-distinct) emits exactly the pair set of the unfused
+    distinct -> signature_verify pipeline, for both band geometries."""
+    from fec_cn_support_etl_spark.operators.dedup import (
+        char_shingles,
+        minhash_lsh_pairs,
+        minhash_lsh_pruned_pairs,
+        minhash_signatures,
+        signature_verify,
+    )
+    from fec_cn_support_etl_spark.sources.tpch import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    sig = minhash_signatures(char_shingles(d, "doc_id", "text", 5), 48).persist()
+    try:
+        for bands in (16, 8):
+            old = signature_verify(minhash_lsh_pairs(sig, bands), sig, 0.45).select(
+                "id_a", "id_b"
+            )
+            new = minhash_lsh_pruned_pairs(sig, bands, 48, 0.45)
+            assert old.exceptAll(new).count() == 0
+            assert new.exceptAll(old).count() == 0
+            assert new.count() > 0  # non-vacuous
+    finally:
+        sig.unpersist()

@@ -111,3 +111,46 @@ def test_foreign_commit_fails_fast_before_visibility(spark, tmp_path):
     # fail-fast means NOTHING became visible and no pending manifest exists
     assert a.read().filter(F.col("v") == "e1a").count() == 0
     assert not os.path.isdir(tmp_path / "txns") or not os.listdir(tmp_path / "txns")
+
+
+def test_stage_rejects_duplicate_table_root(spark, tmp_path):
+    """ADVICE r6: staging the same table twice records the same
+    base_version twice, so the second publish would deterministically
+    conflict AFTER the commit point; reject at stage time instead."""
+    a = _mk_table(spark, str(tmp_path / "dup-a"))
+    txn = MultiTableTransaction(spark, str(tmp_path / "dup-txns"))
+    txn.stage(a, _epoch_df(spark, "e1a"), [0, 1], epoch="e1")
+    with pytest.raises(ValueError, match="already staged"):
+        txn.stage(a, _epoch_df(spark, "e2a"), [0, 1], epoch="e2")
+
+
+def test_recover_skips_poisoned_manifest_and_continues(spark, tmp_path):
+    """ADVICE r6: one pending manifest whose entry hits CommitConflict
+    (staged snapshot discarded out-of-band) must not abort recovery of
+    every later pending manifest; it is reported 'stuck' and left
+    pending, the healthy manifest still rolls forward."""
+    a = _mk_table(spark, str(tmp_path / "po-a"))
+    b = _mk_table(spark, str(tmp_path / "po-b"))
+    txn_dir = str(tmp_path / "po-txns")
+
+    # poisoned txn (sorts first): entry points at a staged snapshot
+    # that was discarded outside the transaction
+    bad = MultiTableTransaction(spark, txn_dir, txn_id="000bad")
+    bad.stage(a, _epoch_df(spark, "bad"), [0, 1], epoch="e9")
+    a.discard_staged(bad._entries[0]["name"])
+    _write_manifest(txn_dir, "000bad", {"state": "pending", "tables": bad._entries})
+
+    # healthy txn (sorts second): manifest written but never published
+    ok = MultiTableTransaction(spark, txn_dir, txn_id="111ok")
+    ok.stage(b, _epoch_df(spark, "okv"), [0, 1], epoch="e9")
+    _write_manifest(txn_dir, "111ok", {"state": "pending", "tables": ok._entries})
+
+    report = {r["txn_id"]: r for r in recover(spark, txn_dir)}
+    assert report["000bad"]["state"] == "stuck"
+    assert "error" in report["000bad"]
+    assert report["111ok"]["state"] == "committed"
+    # the healthy table's epoch is visible; the stuck manifest stays
+    # pending on disk for the operator
+    assert b.read().filter(F.col("v") == "okv").count() == 10
+    doc = json.load(open(os.path.join(txn_dir, "txn-000bad.json")))
+    assert doc["state"] == "pending"
