@@ -64,6 +64,40 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
     return df.select(F.col(id_col).alias("id"), F.expr(f"explode({shingle_arr}) AS sh"))
 
 
+def char_shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """(id, ss: array<bigint>, n) — the SAME distinct k-char shingle
+    hashes as :func:`char_shingles`, kept as ONE array row per doc
+    instead of exploded rows.
+
+    Round-7 shape change (guide §2.3 "shuffle fewer bytes", §5 cache
+    economics): the sketch queries used to cache the EXPLODED rows
+    (10.26M rows at sf1.0) because two consumers need shingles — the
+    signature/simhash aggregate and the exact-Jaccard verify. But the
+    verify stage immediately re-AGGREGATES the exploded rows back into
+    per-doc arrays (semi-join + groupBy + collect_list) to run
+    array_intersect. Caching the array form instead stores the same
+    bytes in 50k rows instead of 10.26M (cache build 3.4s -> 0.9s
+    measured at sf1.0), feeds the verify join DIRECTLY (its semi-join +
+    collect_list exchange disappears from the plan), and the aggregate
+    consumers just re-explode from the cached arrays (explode of an
+    in-memory array column is pipeline-local — no extra scan, no
+    shuffle).
+    """
+    shingle_arr = (
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> xxhash64(substr({text_col}, i, {k}))))"
+    )
+    return df.select(F.col(id_col).alias("id"), F.expr(f"{shingle_arr} AS ss")).withColumn(
+        "n", F.size("ss")
+    )
+
+
+def explode_shingle_sets(sets: DataFrame) -> DataFrame:
+    """(id, sh) view over :func:`char_shingle_sets` output — exactly the
+    :func:`char_shingles` row set, derived from the cached arrays."""
+    return sets.select("id", F.explode("ss").alias("sh"))
+
+
 # -------------------------------------------------------------- minhash
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
@@ -263,6 +297,43 @@ def jaccard_verify(
         .groupBy("id")
         .agg(F.collect_list("sh").alias("ss"), F.count("*").alias("n"))
     )
+    out = (
+        pairs.join(sets.select(F.col("id").alias("id_a"), F.col("ss").alias("ss_a"), F.col("n").alias("na")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("ss").alias("ss_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ss_a", "ss_b")))
+    )
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    if threshold_frac is not None:
+        num, den = threshold_frac
+        out = out.filter(F.col("inter") * den >= union * num)
+    out = out.withColumn("jaccard", F.col("inter") / union)
+    if threshold_frac is None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def jaccard_verify_sets(
+    pairs: DataFrame,
+    sets: DataFrame,
+    threshold: float = 0.7,
+    threshold_frac: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs against a per-doc shingle-SET
+    table (``char_shingle_sets`` output) — identical output to
+    :func:`jaccard_verify`, minus two plan stages.
+
+    :func:`jaccard_verify` takes EXPLODED shingle rows, so it must
+    first rebuild per-doc arrays (semi-join to candidate ids + groupBy
+    + collect_list — one exchange over all candidate docs' shingles)
+    and must cache ``pairs`` because it consumes them twice (id
+    derivation + final join). With the arrays already materialized the
+    pairs stream straight into the two set joins (broadcast at fixture
+    scale) and are consumed ONCE — no pairs cache, no sets exchange.
+    ``array_intersect`` sees the same element sets (order never
+    matters for its size), so the surviving pair set and the jaccard
+    value are bit-identical; pinned by
+    tests/test_dedup.py::test_verify_sets_equivalence.
+    """
     out = (
         pairs.join(sets.select(F.col("id").alias("id_a"), F.col("ss").alias("ss_a"), F.col("n").alias("na")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("ss").alias("ss_b"), F.col("n").alias("nb")), "id_b")

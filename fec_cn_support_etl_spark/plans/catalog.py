@@ -33,9 +33,12 @@ from pyspark.sql import functions as F
 from ..functions.scalar import dec, money
 from ..operators.aggregates import conditional_sum_pivot, horizontal_total
 from ..operators.dedup import (
+    char_shingle_sets,
     char_shingles,
     exact_dup_groups,
+    explode_shingle_sets,
     jaccard_verify,
+    jaccard_verify_sets,
     minhash_lsh_pairs,
     minhash_lsh_pruned_pairs,
     minhash_signatures,
@@ -1623,16 +1626,17 @@ def minhash_neardup_pairs_q(spark, sf_dir):
     brute-force all-pairs Jaccard. Scale path unchanged: candidates via
     uniform band-hash join, exact verify touches candidates only."""
     d = _ts(spark, sf_dir)
-    # (id, int64-shingle) rows feed two consumers — the signature agg and
-    # the verify stage's candidate semi-join — so cache them once.
-    # MEMORY_AND_DISK of 16-byte rows is fine at fixture scale; at 100 TB
-    # you'd re-derive instead (the verify stage's semi-join already
-    # restricts to candidate ids before its own cache, dedup.py).
-    sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
+    # Shingle sets cached as ONE array row per doc (round 7): both
+    # consumers — the signature agg (re-explodes in-pipeline) and the
+    # exact-verify set joins (reads the arrays directly) — share the
+    # cache, and the verify stage's semi-join + collect_list
+    # re-aggregation disappears from the plan. Same bytes, 50k rows
+    # instead of 10.26M at sf1.0. At 100 TB you'd re-derive instead.
+    sets = caching.cache(char_shingle_sets(d, "doc_id", "text", k=5))
     # the signature table is tiny (docs x 48 longs) but feeds both sides
     # of the band self-join; persisting it avoids recomputing the
     # shingle scan + 48-min agg per side
-    sig = caching.cache(minhash_signatures(sh, num_hashes=48))
+    sig = caching.cache(minhash_signatures(explode_shingle_sets(sets), num_hashes=48))
     # band join + agreement prune FUSED (round 7): the 178M-candidate
     # distinct + two signature joins never materialize — see
     # operators/dedup.py::minhash_lsh_pruned_pairs (125.6s -> measured
@@ -1640,7 +1644,7 @@ def minhash_neardup_pairs_q(spark, sf_dir):
     # construction: agree >= ceil(0.45*48) = 22 is the same predicate
     # signature_verify evaluated, applied pre- instead of post-distinct.
     pruned = minhash_lsh_pruned_pairs(sig, bands=16, num_hashes=48, threshold=0.45)
-    return jaccard_verify(pruned, sh, threshold_frac=(4, 5))
+    return jaccard_verify_sets(pruned, sets, threshold_frac=(4, 5))
 
 
 @_q("minhash_neardup_pairs_scale")  # rows-only: estimate-grade recall, disclosed below
@@ -1662,12 +1666,12 @@ def minhash_neardup_pairs_scale_q(spark, sf_dir):
     tests/test_sketch_scale.py and the driver records a rows-only
     check for this entry by design."""
     d = _ts(spark, sf_dir)
-    sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
-    sig = caching.cache(minhash_signatures(sh, num_hashes=48))
+    sets = caching.cache(char_shingle_sets(d, "doc_id", "text", k=5))
+    sig = caching.cache(minhash_signatures(explode_shingle_sets(sets), num_hashes=48))
     # r = 48/8 = 6 hashes per band; same fused band-join + agree>=22
     # prune as the guarantee-grade query (round 7)
     pruned = minhash_lsh_pruned_pairs(sig, bands=8, num_hashes=48, threshold=0.45)
-    return jaccard_verify(pruned, sh, threshold_frac=(4, 5))
+    return jaccard_verify_sets(pruned, sets, threshold_frac=(4, 5))
 
 
 @_q("simhash_neardup_pairs", _CHAR5_JACCARD_SQL)
@@ -1684,13 +1688,16 @@ def simhash_neardup_pairs_q(spark, sf_dir):
     4/5 on survivors. Same oracle as minhash: the sketch changes the
     plan, not the answer."""
     d = _ts(spark, sf_dir)
-    # cached for the same two consumers as in minhash_neardup_pairs_q
-    sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
+    # array-form shingle cache shared by the simhash agg and the exact
+    # verify, same as minhash_neardup_pairs_q (round 7)
+    sets = caching.cache(char_shingle_sets(d, "doc_id", "text", k=5))
     # docs x 1 long — persisted because the chunk join reads it on
     # both sides (same rationale as the minhash signature cache)
-    sims = caching.cache(simhash_from_hashes(sh.withColumnRenamed("sh", "th")))
+    sims = caching.cache(
+        simhash_from_hashes(explode_shingle_sets(sets).withColumnRenamed("sh", "th"))
+    )
     close = simhash_candidates_probe(sims, 6, max_hamming=11).select("id_a", "id_b")
-    return jaccard_verify(close, sh, threshold_frac=(4, 5))
+    return jaccard_verify_sets(close, sets, threshold_frac=(4, 5))
 
 
 @_q(
@@ -1726,12 +1733,12 @@ def neardup_clusters_q(spark, sf_dir):
     from ..operators.dedup import neardup_clusters
 
     d = _ts(spark, sf_dir)
-    sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
-    sig = caching.cache(minhash_signatures(sh, num_hashes=48))
+    sets = caching.cache(char_shingle_sets(d, "doc_id", "text", k=5))
+    sig = caching.cache(minhash_signatures(explode_shingle_sets(sets), num_hashes=48))
     # fused band-join + agree>=22 prune (round 7) — identical pair set,
     # quadratic candidates never shuffled
     pruned = minhash_lsh_pruned_pairs(sig, bands=16, num_hashes=48, threshold=0.45)
-    pairs = jaccard_verify(pruned, sh, threshold_frac=(4, 5)).select("id_a", "id_b")
+    pairs = jaccard_verify_sets(pruned, sets, threshold_frac=(4, 5)).select("id_a", "id_b")
     return neardup_clusters(pairs)
 
 
@@ -3336,12 +3343,12 @@ def neardup_soft_dedup(spark, sf_dir):
     from ..operators.dedup import neardup_clusters
 
     d = _ts(spark, sf_dir)
-    sh = caching.cache(char_shingles(d, "doc_id", "text", k=5))
-    sig = caching.cache(minhash_signatures(sh, num_hashes=48))
+    sets = caching.cache(char_shingle_sets(d, "doc_id", "text", k=5))
+    sig = caching.cache(minhash_signatures(explode_shingle_sets(sets), num_hashes=48))
     # fused band-join + agree>=22 prune (round 7) — identical pair set,
     # quadratic candidates never shuffled
     pruned = minhash_lsh_pruned_pairs(sig, bands=16, num_hashes=48, threshold=0.45)
-    pairs = jaccard_verify(pruned, sh, threshold_frac=(4, 5)).select("id_a", "id_b")
+    pairs = jaccard_verify_sets(pruned, sets, threshold_frac=(4, 5)).select("id_a", "id_b")
     memb = neardup_clusters(pairs).select("doc_id", "cluster_id")
     whole = (
         d.select(

@@ -276,3 +276,39 @@ def test_pruned_pairs_equivalence(spark):
             assert new.count() > 0  # non-vacuous
     finally:
         sig.unpersist()
+
+
+def test_verify_sets_equivalence(spark):
+    """Round-7 array-form verify (char_shingle_sets + jaccard_verify_sets)
+    reproduces jaccard_verify's output bit-for-bit: same surviving pairs
+    AND same jaccard values, via both threshold forms."""
+    from fec_cn_support_etl_spark.operators.dedup import (
+        char_shingle_sets,
+        char_shingles,
+        explode_shingle_sets,
+        jaccard_verify,
+        jaccard_verify_sets,
+        minhash_lsh_pruned_pairs,
+        minhash_signatures,
+    )
+    from fec_cn_support_etl_spark.sources.tpch import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    sets = char_shingle_sets(d, "doc_id", "text", 5).persist()
+    try:
+        sh = char_shingles(d, "doc_id", "text", 5)
+        # exploded view over the arrays is row-identical to char_shingles
+        ex = explode_shingle_sets(sets)
+        assert sh.exceptAll(ex).count() == 0
+        assert ex.exceptAll(sh).count() == 0
+        sig = minhash_signatures(ex, 48)
+        pairs = minhash_lsh_pruned_pairs(sig, 16, 48, 0.45).persist()
+        for kw in ({"threshold_frac": (4, 5)}, {"threshold": 0.8}):
+            old = jaccard_verify(pairs, sh, **kw)
+            new = jaccard_verify_sets(pairs, sets, **kw)
+            assert old.exceptAll(new).count() == 0
+            assert new.exceptAll(old).count() == 0
+            assert new.count() > 0  # non-vacuous
+        pairs.unpersist()
+    finally:
+        sets.unpersist()

@@ -226,13 +226,18 @@ def test_topk_prunes_map_side(spark):
 
 def test_curation_pipeline_single_scan(spark):
     """The composed curation pipeline (quality -> lang -> sample ->
-    dedup) must fuse into ONE documents scan with one shuffle (the
+    dedup) must fuse into ONE documents scan with one DATA shuffle (the
     dedup window on the content digest) — composition must not
-    re-scan per stage."""
+    re-scan per stage. The round-7 ``spread`` of the one-row-group scan
+    is allowed as ONE extra round-robin exchange (it parallelizes the
+    regex feature compute and is a no-op on any properly split input);
+    every remaining exchange must be the single hash shuffle."""
     p = plan(spark, "curation_pipeline")
     assert p.count("documents.parquet") == 1
+    assert p.count("hashpartitioning(") == 1
+    # no exchanges beyond the hash shuffle + the (optional) scan spread
     tree = p.split("(1) Scan")[0]
-    assert tree.count("Exchange") == 1
+    assert tree.count("Exchange") <= 1 + p.count("RoundRobinPartitioning(")
 
 
 def test_time_rollup_single_pass(spark):
@@ -265,7 +270,9 @@ def test_repetition_score_partial_combines_before_both_shuffles(spark):
     p = plan(spark, "text_repetition_score")
     assert p.count("documents.parquet") == 1
     tree = p.split("(1) Scan")[0]
-    assert tree.count("Exchange") == 2
+    # + the (optional) round-robin spread of the one-row-group scan (r7)
+    assert tree.count("Exchange") == 2 + p.count("RoundRobinPartitioning(")
+    assert p.count("hashpartitioning(") == 2
     assert p.count("partial_count") >= 2 and "partial_sum" in p and "partial_max" in p
 
 
@@ -316,11 +323,13 @@ def test_pack_sequences_shard_local_no_global_sort(spark):
     p = plan(spark, "pack_sequences")
     assert "rangepartitioning" not in p.lower()
     assert "documents.parquet" in p and p.count("documents.parquet") == 1
-    # ONE exchange total: the window's hash on source; the final
+    # ONE data exchange total: the window's hash on source; the final
     # (source, bin) aggregate reuses that partitioning (source alone
-    # already co-locates every (source, bin) group)
+    # already co-locates every (source, bin) group). The round-7
+    # round-robin spread of the one-row-group scan is allowed.
     tree = p.split("(1) Scan")[0]
-    assert tree.count("Exchange") == 1
+    assert tree.count("Exchange") == 1 + p.count("RoundRobinPartitioning(")
+    assert p.count("hashpartitioning(") == 1
     assert "hashpartitioning(source" in p
     assert "Window" in p
 
