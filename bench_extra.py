@@ -60,7 +60,7 @@ def minhash_stages(spark, sf_dir):
     a, b = bt.alias("a"), bt.alias("b")
     raw = a.join(
         b,
-        on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"), F.col("a.id") < F.col("b.id")],
+        on=[F.col("a.bh") == F.col("b.bh"), F.col("a.id") < F.col("b.id")],
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     timed(spark, "minhash: RAW band-join pairs (pre-distinct)", lambda: raw.count())
     cand = minhash_lsh_pairs(sig, bands=16)
@@ -277,6 +277,59 @@ def simhash_geom(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def minhash_r7(spark, sf_dir):
+    """Stage isolation of the round-7 array-form minhash pipeline."""
+    from fec_cn_support_etl_spark.operators import caching
+    from fec_cn_support_etl_spark.operators.dedup import (
+        char_shingle_sets,
+        explode_shingle_sets,
+        jaccard_verify_sets,
+        minhash_lsh_pruned_pairs,
+        minhash_signatures,
+    )
+    from fec_cn_support_etl_spark.sources.tpch import load_table, spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sets = caching.cache(char_shingle_sets(d, "doc_id", "text", k=5))
+    timed(spark, "r7: shingle-set rows (materialize cache)", lambda: sets.count())
+    sig = caching.cache(minhash_signatures(explode_shingle_sets(sets), num_hashes=48))
+    timed(spark, "r7: signatures (materialize cache)", lambda: sig.count())
+    pruned = minhash_lsh_pruned_pairs(sig, bands=16, num_hashes=48, threshold=0.45)
+    timed(spark, "r7: fused prune+distinct candidates", lambda: pruned.count())
+    out = jaccard_verify_sets(pruned, sets, threshold_frac=(4, 5))
+    timed(spark, "r7: verify-sets output rows", lambda: out.count())
+    timed(spark, "r7: FULL query (single plan, noop)", lambda: _noop(jaccard_verify_sets(minhash_lsh_pruned_pairs(sig, 16, 48, 0.45), sets, threshold_frac=(4, 5))))
+    caching.release_all()
+    spark.catalog.clearCache()
+
+
+def simhash_r7(spark, sf_dir):
+    """Stage isolation of the round-7 array-form simhash pipeline."""
+    from fec_cn_support_etl_spark.operators import caching
+    from fec_cn_support_etl_spark.operators.dedup import (
+        char_shingle_sets,
+        explode_shingle_sets,
+        jaccard_verify_sets,
+        simhash_candidates_probe,
+        simhash_from_hashes,
+    )
+    from fec_cn_support_etl_spark.sources.tpch import load_table, spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sets = caching.cache(char_shingle_sets(d, "doc_id", "text", k=5))
+    timed(spark, "r7s: shingle-set rows (materialize cache)", lambda: sets.count())
+    sims = caching.cache(simhash_from_hashes(explode_shingle_sets(sets).withColumnRenamed("sh", "th")))
+    timed(spark, "r7s: simhash rows (materialize cache)", lambda: sims.count())
+    raw = simhash_candidates_probe(sims, 6, max_hamming=None)
+    timed(spark, "r7s: RAW probe pairs (no hamming filter, distinct)", lambda: raw.count())
+    close = simhash_candidates_probe(sims, 6, max_hamming=11).select("id_a", "id_b")
+    timed(spark, "r7s: hamming<=11 distinct candidates", lambda: close.count())
+    out = jaccard_verify_sets(close, sets, threshold_frac=(4, 5))
+    timed(spark, "r7s: verify-sets output rows", lambda: out.count())
+    caching.release_all()
+    spark.catalog.clearCache()
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -287,6 +340,8 @@ def main():
         "minhash": minhash_stages,
         "simhash": simhash_stages,
         "minhash_new": minhash_new,
+        "minhash_r7": minhash_r7,
+        "simhash_r7": simhash_r7,
         "shingle_flat": shingle_flat,
         "simhash_geom": simhash_geom,
     }

@@ -118,22 +118,29 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
 
 
 def _band_table(signatures: DataFrame, bands: int, with_sig: bool = False) -> DataFrame:
-    """(id, band, bh[, sig]) — one hashed band row per (doc, band).
+    """(id, bh[, sig]) — one hashed band row per (doc, band).
+
+    ``bh = xxhash64(band_idx, band_slice)`` already mixes the band index
+    into the hash, so the band self-join keys on the SINGLE long ``bh``
+    (round 7): Spark builds the specialized ``LongHashedRelation`` for
+    one-long-key joins — measurably faster probes than the generic
+    2-column relation the old (band, bh) key forced — and band rows drop
+    the band column entirely. Cross-band xxhash64 collisions can only
+    ADD candidate pairs (~n²·2⁻⁶⁴ expected — none at any real scale),
+    and every consumer exact-verifies candidates, so the final pair set
+    is unchanged even if one occurred.
 
     ``with_sig=True`` carries the full signature array on every band row
     so a consumer can evaluate signature agreement INSIDE the band-join
     stage (see ``minhash_lsh_pruned_pairs``). That widens the band-table
-    shuffle from ~24 B to ~(24 + 8k) B per row — still linear in docs —
+    shuffle from ~16 B to ~(16 + 8k) B per row — still linear in docs —
     in exchange for never shuffling the quadratic candidate set."""
     bands_col = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(b, F.slice(F.col("sig"), b * (F.size("sig") / bands).cast("int") + 1, (F.size("sig") / bands).cast("int")).cast("string")).alias("bh"),
-        ),
+        lambda b: F.xxhash64(b, F.slice(F.col("sig"), b * (F.size("sig") / bands).cast("int") + 1, (F.size("sig") / bands).cast("int")).cast("string")),
     )
     keep = ["id", "sig"] if with_sig else ["id"]
-    return signatures.select(*keep, F.explode(bands_col).alias("b")).select(*keep, "b.band", "b.bh")
+    return signatures.select(*keep, F.explode(bands_col).alias("bh"))
 
 
 def minhash_lsh_pairs(
@@ -149,7 +156,7 @@ def minhash_lsh_pairs(
     a = bt.alias("a")
     b = bt.alias("b")
     return (
-        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"), F.col("a.id") < F.col("b.id")])
+        a.join(b, on=[F.col("a.bh") == F.col("b.bh"), F.col("a.id") < F.col("b.id")])
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
@@ -197,48 +204,66 @@ def minhash_lsh_pruned_pairs(
     min_agree = math.ceil(threshold * num_hashes)
     max_mismatch = num_hashes - min_agree
     assert num_hashes <= 63, "bit-plane prefilter packs positions into one long"
-    # Stage 1 — band join with a zero-allocation bit-plane prune.
+    # Three-gate prune, every gate a CERTAIN necessary condition for
+    # agree >= min_agree — no gate can drop a pair the exact test
+    # keeps, and stage 3 re-applies the exact count, so the survivor
+    # set stays bit-identical to signature_verify's.
+    #
+    # Gate 1 — band join with a zero-allocation bit-plane prune.
     # 4 bit-planes of the signature, packed pre-explode (one long per
     # plane per doc): bit i of plane k = bit k of sig[i]. A MATCHING
     # position contributes identical bits to every plane, so
     #   detected := bit_count(OR_k (a.p_k XOR b.p_k)) <= #mismatches,
-    # and agree >= min_agree implies detected <= max_mismatch — the
-    # plane test can NEVER drop a pair the exact test keeps (stage 2
-    # re-applies the exact count, so the survivor set is bit-identical
-    # to signature_verify's). A MISMATCHING position slips past all 4
-    # planes with probability 2^-4, so background pairs (~38 of 48
-    # positions mismatching at sf1.0) fail with overwhelming
-    # probability: 195.6M collision rows -> 7M plane survivors. The
-    # exact zip_with count is interpreted and allocates per row — run
-    # at 195M rows it WAS the stage cost (and its 30-106 s GC-driven
-    # variance) — so it runs in stage 2 on the ~3.5% survivors instead,
-    # and the band rows stay lean (id, band, bh, 4 longs — no sig
-    # array through the join).
+    # and agree >= min_agree implies detected <= max_mismatch. A
+    # MISMATCHING position slips past 4 planes with probability 2^-4,
+    # so the 186M collision rows die in-stage to 7.89M (sf1.0
+    # measurement). 4 planes is the measured sweet spot: widening the
+    # JOIN residual to 8 planes pushed the generated join code past
+    # what codegen handles well (9.7s -> 24.4s for the count), while
+    # fewer planes leak quadratically more rows.
     planes = [
         "("
         + " | ".join(f"shiftleft(shiftright(sig[{i}], {k}) & 1, {i})" for i in range(num_hashes))
         + f") AS p{k}"
-        for k in range(4)
+        for k in range(8)
     ]
     bt = _band_table(signatures, bands, with_sig=True)
-    bt = bt.select("id", "band", "bh", *[F.expr(p) for p in planes])
+    bt = bt.select("id", "bh", *[F.expr(p) for p in planes[:4]])
     a, b = bt.alias("a"), bt.alias("b")
     plane_or = " | ".join(f"(a.p{k} ^ b.p{k})" for k in range(4))
     residual = F.expr(f"a.id < b.id AND bit_count({plane_or}) <= {max_mismatch}")
     raw = (
-        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bh") == F.col("b.bh"), residual])
+        a.join(b, on=[F.col("a.bh") == F.col("b.bh"), residual])
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
-    # Stage 2 — exact positional agreement on plane survivors, BEFORE
-    # the distinct, by re-attaching the two signatures. At fixture
-    # scale the signature table (docs x num_hashes longs) broadcasts,
-    # so stages 1+2 and the final filter are one map-side pipeline and
-    # the only exchange carrying pair rows is the distinct over exact
-    # survivors (~0.3% of collisions). At 100 TB the signature re-join
-    # degrades to a shuffle join of the plane-pruned candidates — still
-    # ~26x fewer rows than the unpruned candidate distinct the old plan
-    # shuffled. Prune-then-distinct == distinct-then-prune (agreement
-    # is a pure function of the pair).
+    # Gate 2 — planes 4-7 re-attached from the doc-level plane table
+    # (docs x 5 longs, broadcast) and tested on gate-1 survivors only.
+    # Escape probability for a mismatching position falls to 2^-8
+    # across the two gates, cutting the leak ~8x (7.89M -> 0.99M at
+    # sf1.0) BEFORE the expensive exact count. Two narrow-row
+    # broadcast joins on 7.89M rows are far cheaper than widening the
+    # gate-1 join residual (see above) or running zip_with at 7.89M.
+    pl = signatures.select(F.col("id"), *[F.expr(p) for p in planes[4:]])
+    pa = pl.select(F.col("id").alias("id_a"), *[F.col(f"p{k}").alias(f"qa{k}") for k in range(4, 8)])
+    pb = pl.select(F.col("id").alias("id_b"), *[F.col(f"p{k}").alias(f"qb{k}") for k in range(4, 8)])
+    gate2_or = " | ".join(f"(qa{k} ^ qb{k})" for k in range(4, 8))
+    raw = (
+        raw.join(pa, "id_a")
+        .join(pb, "id_b")
+        .filter(F.expr(f"bit_count({gate2_or}) <= {max_mismatch}"))
+        .select("id_a", "id_b")
+    )
+    # Gate 3 — exact positional agreement on the ~1M double-plane
+    # survivors, BEFORE the distinct, by re-attaching the two
+    # signatures. At fixture scale the signature table (docs x
+    # num_hashes longs) broadcasts, so all three gates and the final
+    # filter are one map-side pipeline and the only exchange carrying
+    # pair rows is the distinct over exact survivors (~0.3% of
+    # collisions). At 100 TB the re-joins degrade to shuffle joins of
+    # the plane-pruned candidates — still orders of magnitude fewer
+    # rows than the unpruned candidate distinct the old plan shuffled.
+    # Prune-then-distinct == distinct-then-prune (agreement is a pure
+    # function of the pair).
     sa = signatures.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = signatures.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     agree = F.expr(
@@ -583,6 +608,58 @@ def simhash_candidates_probe(
     if max_hamming is not None:
         cand = cand.filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= max_hamming)
     return cand.distinct()
+
+
+def simhash_candidates_sym(
+    sims: DataFrame, chunks: int = 4, max_hamming: int | None = 11
+) -> DataFrame:
+    """Symmetric single-bit multi-probe pigeonhole candidates — the
+    round-7 geometry for ``max_hamming <= 3*chunks - 1``.
+
+    Both sides emit, per chunk, the exact chunk value plus every
+    single-bit flip (width+1 rows/doc/chunk). Two rows meet iff their
+    chunk values differ by the XOR of the two applied flips, i.e. any
+    pair with PER-CHUNK Hamming distance <= 2 collides in that chunk
+    WITH CERTAINTY; by pigeonhole a pair with total Hamming
+    <= 3*chunks - 1 has some chunk at distance <= 2 — so 4 chunks of 16
+    bits cover Hamming <= 11, the same certainty bound as the 6-chunk
+    radius-1 asymmetric probe (``simhash_candidates_probe``), and the
+    ``max_hamming`` filter makes the two candidate sets PROVABLY equal
+    (both = all pairs within the bound; pinned by
+    tests/test_dedup.py::test_sym_probe_equivalence).
+
+    Why it wins (measured at sf1.0, 50k docs): collision volume scales
+    with bucket occupancy squared, and 16-bit chunk values spread 50k
+    docs ~32x thinner than 11-bit ones — raw collision rows fall 196M
+    -> ~22M, pre-hamming — while emitted rows/doc only grow 70 -> 68
+    (4 chunks x 17 vs 6 x ~12.7). The join key packs (chunk, flipped
+    value) into ONE long (chunk << width | cv — exact, no collisions),
+    so the broadcast side builds the specialized LongHashedRelation.
+    """
+    base, rem = divmod(64, chunks)
+    assert rem == 0, "sym probe wants equal chunk widths (64 % chunks == 0)"
+    width = base
+
+    def rows_sql():
+        # per chunk: exact value + every single-bit flip, each packed
+        # with the chunk index into one long key
+        terms = []
+        for c in range(chunks):
+            cv = f"(shiftright(simhash, {c * width}) & {(1 << width) - 1})"
+            for flip in [0, *(1 << j for j in range(width))]:
+                terms.append(f"({c * (1 << width)} + ({cv} ^ {flip}))")
+        return f"explode(array({', '.join(terms)})) AS ck"
+
+    rows = sims.select("id", "simhash", F.expr(rows_sql()))
+    a, b = rows.alias("a"), rows.alias("b")
+    cand = a.join(
+        b, on=[F.col("a.ck") == F.col("b.ck"), F.col("a.id") < F.col("b.id")]
+    ).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb")
+    )
+    if max_hamming is not None:
+        cand = cand.filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= max_hamming)
+    return cand.select("id_a", "id_b").distinct()
 
 
 def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, chunks: int = 4) -> DataFrame:

@@ -45,6 +45,7 @@ from ..operators.dedup import (
     signature_verify,
     simhash_candidates,
     simhash_candidates_probe,
+    simhash_candidates_sym,
     simhash_from_hashes,
 )
 from ..operators import caching
@@ -1696,7 +1697,12 @@ def simhash_neardup_pairs_q(spark, sf_dir):
     sims = caching.cache(
         simhash_from_hashes(explode_shingle_sets(sets).withColumnRenamed("sh", "th"))
     )
-    close = simhash_candidates_probe(sims, 6, max_hamming=11).select("id_a", "id_b")
+    # round-7 geometry: symmetric single-bit probes over 4x16-bit chunks
+    # — same Hamming<=11 certainty, ~32x thinner buckets (196M -> ~22M
+    # collision rows at sf1.0), single-long packed join key. Candidate
+    # set provably equal to the 6-chunk probe (both = all pairs within
+    # the bound); see operators/dedup.py::simhash_candidates_sym.
+    close = simhash_candidates_sym(sims, 4, max_hamming=11)
     return jaccard_verify_sets(close, sets, threshold_frac=(4, 5))
 
 

@@ -95,8 +95,9 @@ def stream_neardup_pairs(
             .alias("a")
             .join(
                 _band_table(sig_all, bands).alias("b"),
+                # bh embeds the band index (operators/dedup.py::_band_table
+                # round 7) — single-long join key, LongHashedRelation
                 on=[
-                    F.col("a.band") == F.col("b.band"),
                     F.col("a.bh") == F.col("b.bh"),
                     F.col("a.id") != F.col("b.id"),
                 ],

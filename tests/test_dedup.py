@@ -312,3 +312,30 @@ def test_verify_sets_equivalence(spark):
         pairs.unpersist()
     finally:
         sets.unpersist()
+
+
+def test_sym_probe_equivalence(spark):
+    """Round-7 symmetric 4x16-bit probe emits exactly the candidate set
+    of the 6-chunk radius-1 asymmetric probe under the same
+    max_hamming=11 filter (both geometries cover Hamming<=11 with
+    certainty, so both equal the full within-bound pair set)."""
+    from fec_cn_support_etl_spark.operators.dedup import (
+        char_shingles,
+        simhash_candidates_probe,
+        simhash_candidates_sym,
+        simhash_from_hashes,
+    )
+    from fec_cn_support_etl_spark.sources.tpch import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    sims = simhash_from_hashes(
+        char_shingles(d, "doc_id", "text", 5).withColumnRenamed("sh", "th")
+    ).persist()
+    try:
+        old = simhash_candidates_probe(sims, 6, max_hamming=11).select("id_a", "id_b")
+        new = simhash_candidates_sym(sims, 4, max_hamming=11)
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+        assert new.count() > 0  # non-vacuous
+    finally:
+        sims.unpersist()
