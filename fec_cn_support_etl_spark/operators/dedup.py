@@ -117,7 +117,36 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
     return agg.select("id", sig)
 
 
-def _band_table(signatures: DataFrame, bands: int, with_sig: bool = False) -> DataFrame:
+def _plane_exprs(num_hashes: int, n_planes: int = 8) -> list[str]:
+    """SQL text for the packed bit-planes of a signature: bit i of
+    plane k = bit k of sig[i] (used by the fused LSH prune's gates)."""
+    return [
+        "("
+        + " | ".join(f"shiftleft(shiftright(sig[{i}], {k}) & 1, {i})" for i in range(num_hashes))
+        + f") AS p{k}"
+        for k in range(n_planes)
+    ]
+
+
+def with_sig_planes(signatures: DataFrame, num_hashes: int, n_planes: int = 8) -> DataFrame:
+    """(id, sig, p0..p{n_planes-1}) — signatures with their bit-planes
+    materialized as plain columns.
+
+    Round-7 finding: when the 48-term plane expressions are left to be
+    computed in the band-join stage, whole-stage codegen fuses them into
+    the join's generated method — the method blows past JIT limits and
+    the 186M-row collision loop runs ~2x SLOWER than interpreted
+    (measured 6.7s codegen vs 3.3s with codegen disabled at sf1.0).
+    Materializing the planes into the CACHED signature table keeps the
+    join stage's generated code tiny (column reads + bit_count), which
+    is the fix at the plan level rather than a config override. Cost:
+    8 extra longs per doc in the cache — linear, negligible."""
+    return signatures.select("id", "sig", *[F.expr(p) for p in _plane_exprs(num_hashes, n_planes)])
+
+
+def _band_table(
+    signatures: DataFrame, bands: int, with_sig: bool = False, keep: list[str] | None = None
+) -> DataFrame:
     """(id, bh[, sig]) — one hashed band row per (doc, band).
 
     ``bh = xxhash64(band_idx, band_slice)`` already mixes the band index
@@ -134,12 +163,14 @@ def _band_table(signatures: DataFrame, bands: int, with_sig: bool = False) -> Da
     so a consumer can evaluate signature agreement INSIDE the band-join
     stage (see ``minhash_lsh_pruned_pairs``). That widens the band-table
     shuffle from ~16 B to ~(16 + 8k) B per row — still linear in docs —
-    in exchange for never shuffling the quadratic candidate set."""
+    in exchange for never shuffling the quadratic candidate set.
+    ``keep`` overrides the carried columns explicitly."""
     bands_col = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(b, F.slice(F.col("sig"), b * (F.size("sig") / bands).cast("int") + 1, (F.size("sig") / bands).cast("int")).cast("string")),
     )
-    keep = ["id", "sig"] if with_sig else ["id"]
+    if keep is None:
+        keep = ["id", "sig"] if with_sig else ["id"]
     return signatures.select(*keep, F.explode(bands_col).alias("bh"))
 
 
@@ -221,14 +252,15 @@ def minhash_lsh_pruned_pairs(
     # JOIN residual to 8 planes pushed the generated join code past
     # what codegen handles well (9.7s -> 24.4s for the count), while
     # fewer planes leak quadratically more rows.
-    planes = [
-        "("
-        + " | ".join(f"shiftleft(shiftright(sig[{i}], {k}) & 1, {i})" for i in range(num_hashes))
-        + f") AS p{k}"
-        for k in range(8)
-    ]
-    bt = _band_table(signatures, bands, with_sig=True)
-    bt = bt.select("id", "bh", *[F.expr(p) for p in planes[:4]])
+    # Planes come precomputed from the cached signature table when the
+    # caller used with_sig_planes (the catalog queries do — see its
+    # docstring: leaving the 48-term plane expressions to be computed
+    # in the join stage makes whole-stage codegen generate a method too
+    # large to JIT, 2x slower); computed here otherwise so the operator
+    # stays self-contained.
+    if "p0" not in signatures.columns:
+        signatures = with_sig_planes(signatures, num_hashes)
+    bt = _band_table(signatures, bands, keep=["id", "p0", "p1", "p2", "p3"])
     a, b = bt.alias("a"), bt.alias("b")
     plane_or = " | ".join(f"(a.p{k} ^ b.p{k})" for k in range(4))
     residual = F.expr(f"a.id < b.id AND bit_count({plane_or}) <= {max_mismatch}")
@@ -243,7 +275,7 @@ def minhash_lsh_pruned_pairs(
     # sf1.0) BEFORE the expensive exact count. Two narrow-row
     # broadcast joins on 7.89M rows are far cheaper than widening the
     # gate-1 join residual (see above) or running zip_with at 7.89M.
-    pl = signatures.select(F.col("id"), *[F.expr(p) for p in planes[4:]])
+    pl = signatures.select("id", "p4", "p5", "p6", "p7")
     pa = pl.select(F.col("id").alias("id_a"), *[F.col(f"p{k}").alias(f"qa{k}") for k in range(4, 8)])
     pb = pl.select(F.col("id").alias("id_b"), *[F.col(f"p{k}").alias(f"qb{k}") for k in range(4, 8)])
     gate2_or = " | ".join(f"(qa{k} ^ qb{k})" for k in range(4, 8))

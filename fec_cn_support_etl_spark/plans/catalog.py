@@ -47,6 +47,7 @@ from ..operators.dedup import (
     simhash_candidates_probe,
     simhash_candidates_sym,
     simhash_from_hashes,
+    with_sig_planes,
 )
 from ..operators import caching
 from ..operators.clustering import kmeans_assign
@@ -1637,7 +1638,12 @@ def minhash_neardup_pairs_q(spark, sf_dir):
     # the signature table is tiny (docs x 48 longs) but feeds both sides
     # of the band self-join; persisting it avoids recomputing the
     # shingle scan + 48-min agg per side
-    sig = caching.cache(minhash_signatures(explode_shingle_sets(sets), num_hashes=48))
+    sig = caching.cache(
+        # planes materialized INTO the cache: computing them in the
+        # band-join stage makes codegen emit a too-large-to-JIT method
+        # (operators/dedup.py::with_sig_planes, round 7)
+        with_sig_planes(minhash_signatures(explode_shingle_sets(sets), num_hashes=48), 48)
+    )
     # band join + agreement prune FUSED (round 7): the 178M-candidate
     # distinct + two signature joins never materialize — see
     # operators/dedup.py::minhash_lsh_pruned_pairs (125.6s -> measured
@@ -1668,7 +1674,12 @@ def minhash_neardup_pairs_scale_q(spark, sf_dir):
     check for this entry by design."""
     d = _ts(spark, sf_dir)
     sets = caching.cache(char_shingle_sets(d, "doc_id", "text", k=5))
-    sig = caching.cache(minhash_signatures(explode_shingle_sets(sets), num_hashes=48))
+    sig = caching.cache(
+        # planes materialized INTO the cache: computing them in the
+        # band-join stage makes codegen emit a too-large-to-JIT method
+        # (operators/dedup.py::with_sig_planes, round 7)
+        with_sig_planes(minhash_signatures(explode_shingle_sets(sets), num_hashes=48), 48)
+    )
     # r = 48/8 = 6 hashes per band; same fused band-join + agree>=22
     # prune as the guarantee-grade query (round 7)
     pruned = minhash_lsh_pruned_pairs(sig, bands=8, num_hashes=48, threshold=0.45)
@@ -1740,7 +1751,12 @@ def neardup_clusters_q(spark, sf_dir):
 
     d = _ts(spark, sf_dir)
     sets = caching.cache(char_shingle_sets(d, "doc_id", "text", k=5))
-    sig = caching.cache(minhash_signatures(explode_shingle_sets(sets), num_hashes=48))
+    sig = caching.cache(
+        # planes materialized INTO the cache: computing them in the
+        # band-join stage makes codegen emit a too-large-to-JIT method
+        # (operators/dedup.py::with_sig_planes, round 7)
+        with_sig_planes(minhash_signatures(explode_shingle_sets(sets), num_hashes=48), 48)
+    )
     # fused band-join + agree>=22 prune (round 7) — identical pair set,
     # quadratic candidates never shuffled
     pruned = minhash_lsh_pruned_pairs(sig, bands=16, num_hashes=48, threshold=0.45)
@@ -3350,7 +3366,12 @@ def neardup_soft_dedup(spark, sf_dir):
 
     d = _ts(spark, sf_dir)
     sets = caching.cache(char_shingle_sets(d, "doc_id", "text", k=5))
-    sig = caching.cache(minhash_signatures(explode_shingle_sets(sets), num_hashes=48))
+    sig = caching.cache(
+        # planes materialized INTO the cache: computing them in the
+        # band-join stage makes codegen emit a too-large-to-JIT method
+        # (operators/dedup.py::with_sig_planes, round 7)
+        with_sig_planes(minhash_signatures(explode_shingle_sets(sets), num_hashes=48), 48)
+    )
     # fused band-join + agree>=22 prune (round 7) — identical pair set,
     # quadratic candidates never shuffled
     pruned = minhash_lsh_pruned_pairs(sig, bands=16, num_hashes=48, threshold=0.45)
