@@ -44,10 +44,11 @@ from pyspark.sql import types as T
 
 from ..operators.dedup import (
     _band_table,
+    char_shingle_sets,
     char_shingles,
-    jaccard_verify,
+    jaccard_verify_sets,
     minhash_signatures,
-    signature_verify,
+    with_sig_planes,
 )
 
 _PAIRS_SCHEMA = T.StructType(
@@ -79,8 +80,21 @@ def stream_neardup_pairs(
     pairs_dir = os.path.join(work_dir, "pairs")
     checkpoint = os.path.join(work_dir, "checkpoint")
 
+    import math
+
+    min_agree = math.ceil(prune * num_hashes)
+    max_mismatch = num_hashes - min_agree
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        new = batch_df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).persist()
+        from ..sources.tpch import spread
+
+        # a micro-batch arrives with one partition per input file — the
+        # shingle hashing + 48-min signature aggregate would serialize
+        # on those few cores (measured 6.4s of the 17s batch at sf0.1);
+        # spread is a no-op once batches carry >= parallelism splits
+        new = spread(
+            batch_df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        ).persist()
         sig_new = minhash_signatures(char_shingles(new, "doc_id", "text", k), num_hashes)
         (
             new.join(sig_new.withColumnRenamed("id", "doc_id"), "doc_id")
@@ -89,31 +103,58 @@ def stream_neardup_pairs(
         )
         # the store INCLUDES this batch, so new-new pairs surface here too
         all_store = spark.read.parquet(store).drop("batch")
-        sig_all = all_store.select(F.col("doc_id").alias("id"), "sig")
+        # same fused three-gate prune as the batch pipeline (round 7,
+        # operators/dedup.py::minhash_lsh_pruned_pairs): bit-plane gates
+        # in/after the band join so the quadratic candidate set never
+        # crosses the distinct, then the exact agreement — identical
+        # survivor set to the old distinct -> signature_verify chain
+        # (agree/48 >= 0.45 <=> agree >= 22, integers).
+        sig_all = with_sig_planes(
+            all_store.select(F.col("doc_id").alias("id"), "sig"), num_hashes
+        ).persist()
+        bt_new = _band_table(
+            sig_all.join(sig_new.select("id"), "id", "left_semi"),
+            bands,
+            keep=["id", "p0", "p1", "p2", "p3"],
+        )
+        bt_all = _band_table(sig_all, bands, keep=["id", "p0", "p1", "p2", "p3"])
+        gate1 = " | ".join(f"(a.p{n} ^ b.p{n})" for n in range(4))
         cand = (
-            _band_table(sig_new, bands)
-            .alias("a")
+            bt_new.alias("a")
             .join(
-                _band_table(sig_all, bands).alias("b"),
-                # bh embeds the band index (operators/dedup.py::_band_table
-                # round 7) — single-long join key, LongHashedRelation
+                bt_all.alias("b"),
+                # bh embeds the band index — single-long key (round 7)
                 on=[
                     F.col("a.bh") == F.col("b.bh"),
-                    F.col("a.id") != F.col("b.id"),
+                    F.expr(f"a.id != b.id AND bit_count({gate1}) <= {max_mismatch}"),
                 ],
             )
             .select(
                 F.least("a.id", "b.id").alias("id_a"),
                 F.greatest("a.id", "b.id").alias("id_b"),
             )
-            .distinct()
         )
-        pruned = signature_verify(cand, sig_all, prune).select("id_a", "id_b")
-        sh_all = char_shingles(all_store, "doc_id", "text", k)
-        out = jaccard_verify(pruned, sh_all, threshold_frac=threshold_frac)
+        pl = sig_all.select("id", "p4", "p5", "p6", "p7")
+        pa = pl.select(F.col("id").alias("id_a"), *[F.col(f"p{n}").alias(f"qa{n}") for n in range(4, 8)])
+        pb = pl.select(F.col("id").alias("id_b"), *[F.col(f"p{n}").alias(f"qb{n}") for n in range(4, 8)])
+        gate2 = " | ".join(f"(qa{n} ^ qb{n})" for n in range(4, 8))
+        cand = (
+            cand.join(pa, "id_a")
+            .join(pb, "id_b")
+            .filter(F.expr(f"bit_count({gate2}) <= {max_mismatch}"))
+        )
+        sa = sig_all.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = sig_all.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        agree = F.expr(f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) >= {min_agree}")
+        pruned = (
+            cand.join(sa, "id_a").join(sb, "id_b").filter(agree).select("id_a", "id_b").distinct()
+        )
+        sets_all = char_shingle_sets(all_store, "doc_id", "text", k)
+        out = jaccard_verify_sets(pruned, sets_all, threshold_frac=threshold_frac)
         out.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"batch={batch_id}"))
         new.unpersist()
-        spark.catalog.clearCache()  # jaccard_verify persists per batch
+        sig_all.unpersist()
+        spark.catalog.clearCache()
 
     schema = spark.read.parquet(docs_path).schema
     if os.path.isfile(docs_path):
