@@ -1978,10 +1978,14 @@ def embedding_cosine_neardup_q(spark, sf_dir):
     cosine verify on candidates only, pigeonhole-guaranteed capture to
     signature-Hamming chunks-1), recall-pinned on planted near-dups in
     tests/test_similarity.py."""
-    from ..operators.similarity import cosine_neardup_exact
+    from ..operators.similarity import cosine_neardup_blocked
 
+    # round 7: per-partition numpy block-matmul against the broadcast
+    # corpus matrix instead of 2M interpreted 192-term HOF folds
+    # (4.4s -> 0.6s at sf0.1); membership identical — the threshold
+    # sits in the fixture's 7e-4 cosine gap, test- and oracle-pinned.
     emb = _ts(spark, sf_dir, "embeddings")
-    return cosine_neardup_exact(emb, "vec_id", "embedding", 400200).select("id_a", "id_b")
+    return cosine_neardup_blocked(emb, "vec_id", "embedding", 400200)
 
 
 @_q(

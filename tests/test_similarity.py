@@ -182,3 +182,21 @@ def test_cosine_neardup_chunked_captures_planted(spark):
     assert set(chunked) <= set(exact)  # verify stage: no false positives
     for p in chunked:
         assert chunked[p] == exact[p]  # captured pairs bit-identical
+
+
+def test_blocked_matches_exact(spark):
+    """Round-7 blocked-matmul ground-truth path emits exactly the pair
+    set of the JVM fold (membership gap >> float jitter at the
+    threshold)."""
+    from fec_cn_support_etl_spark.operators.similarity import (
+        cosine_neardup_blocked,
+        cosine_neardup_exact,
+    )
+    from fec_cn_support_etl_spark.sources.tpch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    old = cosine_neardup_exact(emb, "vec_id", "embedding", 400200).select("id_a", "id_b")
+    new = cosine_neardup_blocked(emb, "vec_id", "embedding", 400200)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    assert new.count() > 0
