@@ -339,3 +339,20 @@ def test_sym_probe_equivalence(spark):
         assert new.count() > 0  # non-vacuous
     finally:
         sims.unpersist()
+
+
+def test_cc_small_path_equivalence(spark):
+    """Round-7 driver union-find fast path produces the identical
+    (id, component) fixpoint as the distributed min-label loop."""
+    from fec_cn_support_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (5, 99), (4, 99)],
+        ["id_a", "id_b"],
+    )
+    small = connected_components(pairs, small_edge_limit=1_000_000)
+    big = connected_components(pairs, small_edge_limit=0)
+    assert small.exceptAll(big).count() == 0
+    assert big.exceptAll(small).count() == 0
+    got = {(r["id"], r["component"]) for r in small.collect()}
+    assert (23, 20) in got and (99, 4) in got and (3, 1) in got
