@@ -286,13 +286,14 @@ def minhash_r7(spark, sf_dir):
         jaccard_verify_sets,
         minhash_lsh_pruned_pairs,
         minhash_signatures,
+        with_sig_planes,
     )
     from fec_cn_support_etl_spark.sources.tpch import load_table, spread
 
     d = spread(load_table(spark, sf_dir, "documents"))
     sets = caching.cache(char_shingle_sets(d, "doc_id", "text", k=5))
     timed(spark, "r7: shingle-set rows (materialize cache)", lambda: sets.count())
-    sig = caching.cache(minhash_signatures(explode_shingle_sets(sets), num_hashes=48))
+    sig = caching.cache(with_sig_planes(minhash_signatures(explode_shingle_sets(sets), num_hashes=48), 48))
     timed(spark, "r7: signatures (materialize cache)", lambda: sig.count())
     pruned = minhash_lsh_pruned_pairs(sig, bands=16, num_hashes=48, threshold=0.45)
     timed(spark, "r7: fused prune+distinct candidates", lambda: pruned.count())
